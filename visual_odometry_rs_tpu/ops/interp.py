@@ -1,0 +1,125 @@
+"""Masked bilinear interpolation — the gather at the heart of the hot loop.
+
+Reference semantics (``src/core/track/lm_optimizer.rs:227-251`` and the
+identical copy in ``examples/optim_affine-2d.rs:382-406``): with
+``u = floor(x)``, ``v = floor(y)``, a point is *inside* iff
+``0 <= u < width-2`` and ``0 <= v < height-2``; inside points are sampled
+with bilinear weights ``(a, b) = (x-u, y-v)``; outside points contribute
+nothing (the reference drops them from the residual vector, we return a mask).
+
+TPU-first design: two interchangeable implementations —
+
+- ``bilinear_gather``: XLA gather via advanced indexing.  Simple, and XLA
+  lowers it to dynamic-gather loops on TPU.
+- ``bilinear_onehot``: reformulates sampling as two small matmuls
+  ``out = rowsel(N,H) @ img(H,W) . colsel(N,W)`` where the one-hot selection
+  matrices carry the bilinear weights.  This maps the gather onto the MXU
+  (TPU's systolic array) instead of scalar gathers — the classic way to make
+  irregular memory access TPU-native when the table (image level) is small
+  enough. Weighted one-hots make vertical+horizontal interpolation exact.
+
+Both return ``(values, inside_mask)`` with fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.types import Float
+
+
+def inside_mask(x: jnp.ndarray, y: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """The reference's interpolation domain (lm_optimizer.rs:231)."""
+    u = jnp.floor(x)
+    v = jnp.floor(y)
+    return (u >= 0.0) & (u < width - 2) & (v >= 0.0) & (v < height - 2)
+
+
+def bilinear_gather(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear sample ``img`` (H, W) at float coords; XLA-gather path.
+
+    ``x`` indexes columns (u) and ``y`` rows (v), like the reference.
+    Out-of-domain points return value 0 with mask False.
+    """
+    height, width = img.shape[-2:]
+    u = jnp.floor(x)
+    v = jnp.floor(y)
+    mask = (u >= 0.0) & (u < width - 2) & (v >= 0.0) & (v < height - 2)
+
+    u0 = jnp.clip(u.astype(jnp.int32), 0, width - 2)
+    v0 = jnp.clip(v.astype(jnp.int32), 0, height - 2)
+    u1 = u0 + 1
+    v1 = v0 + 1
+
+    imf = img.astype(Float)
+    vu00 = imf[..., v0, u0]
+    vu10 = imf[..., v1, u0]
+    vu01 = imf[..., v0, u1]
+    vu11 = imf[..., v1, u1]
+
+    a = x - u
+    b = y - v
+    val = (
+        (1.0 - b) * (1.0 - a) * vu00
+        + b * (1.0 - a) * vu10
+        + (1.0 - b) * a * vu01
+        + b * a * vu11
+    )
+    return jnp.where(mask, val, 0.0), mask
+
+
+def bilinear_onehot(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear sample via weighted one-hot matmuls (MXU path).
+
+    For each point n: ``rows[n] = (1-b) e_{v0} + b e_{v1}`` (N, H) and
+    ``cols[n] = (1-a) e_{u0} + a e_{u1}`` (N, W).  Then
+    ``out[n] = rows[n] @ img @ cols[n]`` — computed as one (N,H)x(H,W) matmul
+    followed by a row-wise weighted reduction.  Exact same arithmetic as
+    ``bilinear_gather`` up to f32 summation order.
+
+    Cost: N*H*W MACs on the MXU.  For pyramid levels this beats scalar
+    gathers on TPU; use ``bilinear_gather`` on CPU.
+    """
+    height, width = img.shape[-2:]
+    u = jnp.floor(x)
+    v = jnp.floor(y)
+    mask = (u >= 0.0) & (u < width - 2) & (v >= 0.0) & (v < height - 2)
+
+    u0 = jnp.clip(u.astype(jnp.int32), 0, width - 2)
+    v0 = jnp.clip(v.astype(jnp.int32), 0, height - 2)
+    a = (x - u).astype(Float)
+    b = (y - v).astype(Float)
+
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[-1], height), 1)
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[-1], width), 1)
+    v0c = v0[..., None]
+    u0c = u0[..., None]
+    rows = jnp.where(rows_idx == v0c, (1.0 - b)[..., None], 0.0) + jnp.where(
+        rows_idx == v0c + 1, b[..., None], 0.0
+    )
+    cols = jnp.where(cols_idx == u0c, (1.0 - a)[..., None], 0.0) + jnp.where(
+        cols_idx == u0c + 1, a[..., None], 0.0
+    )
+
+    interp_rows = jnp.dot(
+        rows, img.astype(Float), precision=jax.lax.Precision.HIGHEST
+    )  # (N, W)
+    val = jnp.sum(interp_rows * cols, axis=-1)
+    return jnp.where(mask, val, 0.0), mask
+
+
+def bilinear(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, method: str = "gather"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if method == "gather":
+        return bilinear_gather(img, x, y)
+    if method == "onehot":
+        return bilinear_onehot(img, x, y)
+    raise ValueError(f"unknown interpolation method: {method}")
