@@ -76,7 +76,7 @@ def project(k: Intrinsics, point: jnp.ndarray) -> jnp.ndarray:
 
 def back_project(k: Intrinsics, point: jnp.ndarray, depth) -> jnp.ndarray:
     """Pixel (…,2) + depth → 3D camera-frame point (…,3) (camera.rs:135-140)."""
-    z = jnp.asarray(depth, dtype=Float)
+    z = jnp.broadcast_to(jnp.asarray(depth, dtype=Float), point[..., 1].shape)
     y = (point[..., 1] - k.cy) * z / k.fy
     x = ((point[..., 0] - k.cx) * z - k.skew * y) / k.fx
     return jnp.stack([x, y, z], axis=-1)

@@ -1,0 +1,92 @@
+"""Coarse-to-fine candidate-point selection, fully vectorized.
+
+Capability parity with reference ``src/core/candidates/coarse_to_fine.rs``:
+starting from an all-true mask at the coarsest gradient level, each finer
+level keeps, inside every 2x2 block under a selected coarse pixel, the pixel
+with the largest gradient plus the second-largest if
+``second > third + diff_threshold`` (coarse_to_fine.rs:64-89).
+
+TPU-first design: the per-block top-2 selection is a rank computation over
+the 4 stacked block corners — pure elementwise comparisons on the VPU, no
+sort, no data-dependent shapes.  Output is a boolean mask per level (the
+finest mask is the one the tracker consumes,
+ref inverse_compositional.rs:120-125).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+
+from ...ops.pyramid import block_2x2
+
+
+def _prune_block(thresh, a, b, c, d):
+    """Vectorized ``prune_with_thresh`` (coarse_to_fine.rs:73-89).
+
+    Returns 4 boolean maps (one per block corner).  Ties are broken by corner
+    order a < b < c < d (the reference's unstable sort of equal keys is
+    order-indeterminate; we fix a deterministic order).
+    """
+    vals = jnp.stack([a, b, c, d]).astype(jnp.int32)
+
+    # rank[i] = number of corners strictly greater, with index tie-break:
+    # corner j beats corner i if val_j > val_i, or equal and j < i.
+    gt = (vals[:, None] > vals[None, :]).astype(jnp.int32)
+    idx = jnp.arange(4)
+    tie = jnp.logical_and(
+        vals[:, None] == vals[None, :], (idx[:, None] < idx[None, :])[..., None, None]
+    ).astype(jnp.int32)
+    beats = gt + tie  # beats[j, i] = 1 if corner j ranks above corner i
+    rank = jnp.sum(beats, axis=0)  # 0 = largest
+
+    first = rank == 0
+    second = rank == 1
+
+    # second kept only if strictly above third + thresh (values, not ranks).
+    sorted_vals = jnp.sort(vals, axis=0)  # ascending
+    second_val = sorted_vals[2]
+    third_val = sorted_vals[1]
+    keep_second = second_val > third_val + jnp.asarray(thresh, jnp.int32)
+
+    keep = jnp.logical_or(first, jnp.logical_and(second, keep_second[None]))
+    return keep[0], keep[1], keep[2], keep[3]
+
+
+def _merge_block_masks(ka, kb, kc, kd):
+    """Reassemble 4 corner masks (H/2, W/2) into a full-res mask (H, W)."""
+    h2, w2 = ka.shape[-2:]
+    out = jnp.zeros((*ka.shape[:-2], 2 * h2, 2 * w2), dtype=bool)
+    out = out.at[..., 0::2, 0::2].set(ka)
+    out = out.at[..., 1::2, 0::2].set(kb)
+    out = out.at[..., 0::2, 1::2].set(kc)
+    out = out.at[..., 1::2, 1::2].set(kd)
+    return out
+
+
+def select(diff_threshold, gradient_sq_levels: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Multi-level candidate masks (coarse_to_fine.rs:15-32).
+
+    ``gradient_sq_levels`` is ordered fine→coarse like the reference's
+    pyramid; returns masks ordered coarse→fine with the *finest last*
+    (callers use ``[-1]``).  The coarsest level is all-true.  At each finer
+    level only blocks under a selected coarse pixel are evaluated.  Odd
+    trailing rows/cols of a level are never selected (the reference's masks
+    are sized from the half-resolution pre-mask).
+    """
+    coarsest = gradient_sq_levels[-1]
+    masks = [jnp.ones(coarsest.shape, dtype=bool)]
+    for grad in reversed(gradient_sq_levels[:-1]):
+        pre_mask = masks[-1]
+        a, b, c, d = block_2x2(grad)
+        ka, kb, kc, kd = _prune_block(diff_threshold, a, b, c, d)
+        h2, w2 = ka.shape[-2:]
+        pre = pre_mask[..., :h2, :w2]
+        full = _merge_block_masks(ka & pre, kb & pre, kc & pre, kd & pre)
+        # pad back to the level's full (possibly odd) shape
+        h, w = grad.shape[-2:]
+        if full.shape[-2:] != (h, w):
+            full = jnp.zeros(grad.shape, bool).at[..., : 2 * h2, : 2 * w2].set(full)
+        masks.append(full)
+    return masks
