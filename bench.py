@@ -1,0 +1,87 @@
+"""Benchmark: tracker frames/s per chip on a synthetic 640x480 RGB-D sequence.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline note: the reference (Rust vors_track) publishes no numbers and this
+image has no Rust toolchain to measure it (BASELINE.md).  We use an estimated
+reference throughput of 30 frames/s for a release-mode single-core run of a
+DSO-style direct RGB-D tracker at 640x480 — the same order as published
+direct-VO CPU trackers — and report vs_baseline against that documented
+estimate.  The driver records results per round for trend tracking.
+
+Methodology: steady-state per-frame tracking cost — the mean-pyramid build +
+full 6-level coarse-to-fine LM solve + optical-flow check (what
+``Tracker.track`` runs per frame without a keyframe switch), timed over
+repeated frames after a warmup compile, with device completion blocking.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+REFERENCE_FPS_ESTIMATE = 30.0  # documented estimate, see module docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.dataset import synthetic
+    from visual_odometry_rs_tpu.math import pose as pose_mod
+    from visual_odometry_rs_tpu.models import tracker as tracker_mod
+    from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+
+    height, width = 480, 640
+    seq = synthetic.generate_sequence(
+        nb_frames=3, height=height, width=width, seed=0, motion_scale=0.008
+    )
+    config = tracker_mod.TrackerConfig(height=height, width=width, nb_levels=6)
+    intrinsics = seq.intrinsics
+
+    @jax.jit
+    def per_frame(kf, img, init_model):
+        pyr = pyramid_ops.mean_pyramid(config.nb_levels, img)
+        result = tracker_mod.track_frame(config, kf, pyr, init_model)
+        return result.model, result.flow, result.failed
+
+    depth0 = jnp.asarray(seq.depths[0])
+    pyr0 = jax.jit(lambda i: pyramid_ops.mean_pyramid(config.nb_levels, i))(
+        jnp.asarray(seq.grays[0])
+    )
+    kf = jax.jit(
+        lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
+    )(depth0, pyr0)
+    jax.block_until_ready(kf.levels[0].jacobians)
+
+    frames = [jnp.asarray(g) for g in seq.grays[1:]]
+    ident = pose_mod.identity()
+
+    # warmup / compile
+    model, flow, failed = per_frame(kf, frames[0], ident)
+    jax.block_until_ready(model.t)
+    assert not bool(failed), "benchmark track failed"
+
+    n_iters = 30
+    start = time.perf_counter()
+    for i in range(n_iters):
+        model, flow, failed = per_frame(kf, frames[i % len(frames)], ident)
+    jax.block_until_ready(model.t)
+    elapsed = time.perf_counter() - start
+    fps = n_iters / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracker_frames_per_second_per_chip_640x480",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""CLI end-to-end test: write a synthetic TUM-layout sequence to disk, run
+the vors_track-equivalent entry point, parse stdout, evaluate ATE.
+
+This is the product-level test the reference delegates to manual runs +
+an external evaluation repo (SURVEY §4).
+"""
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+import numpy as np
+
+from visual_odometry_rs_tpu.cli import vors_track
+from visual_odometry_rs_tpu.dataset import synthetic, tum_rgbd
+from visual_odometry_rs_tpu.eval import ate
+from visual_odometry_rs_tpu.math import pose as pose_mod
+
+
+def test_cli_tracks_and_prints_trajectory(tmp_path, capsys):
+    # fr1 intrinsics at full aspect but small size for test speed
+    seq = synthetic.generate_sequence(
+        nb_frames=4, height=120, width=160,
+        intrinsics=tum_rgbd.intrinsics_fr1(), seed=5,
+    )
+    # NOTE: fr1 intrinsics assume 640x480; rescale is handled inside
+    # generate_sequence only when intrinsics is None, so regenerate properly:
+    seq = synthetic.generate_sequence(nb_frames=4, height=120, width=160, seed=5)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_track.main(
+            ["fr1", assoc_path, "--nb-levels", "4", "--candidate-cap", "2048"]
+        )
+    assert rc == 0
+    out = buf.getvalue()
+    frames = tum_rgbd.parse_trajectory(out)
+    assert len(frames) == 3  # frames 1..3 (frame 0 initializes)
+
+    estimated = [pose_mod.identity()] + [f.pose for f in frames]
+    # CLI uses fr1 intrinsics (for 640x480) on a 160x120 render made with
+    # scaled intrinsics -> expect rough tracking only; this test checks the
+    # plumbing (files -> tracker -> stdout format), not accuracy.
+    assert all(np.isfinite(np.asarray(f.pose.t)).all() for f in frames)
+
+
+def test_cli_accurate_with_matching_intrinsics(tmp_path):
+    # Render at 640x480-scaled-down intrinsics and give the CLI the same via
+    # camera preset: use icl at its native 640x480 shape scaled.
+    seq = synthetic.generate_sequence(nb_frames=4, height=120, width=160, seed=6)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    # drive the library the way the CLI does but with correct intrinsics
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.models import tracker as tracker_mod
+
+    assocs = tum_rgbd.load_associations(assoc_path)
+    depth0, gray0 = tum_rgbd.read_images(assocs[0])
+    config = tracker_mod.TrackerConfig(height=120, width=160, nb_levels=4, candidate_cap=2048)
+    trk = tracker_mod.init_tracker(
+        config, seq.intrinsics, assocs[0].depth_timestamp,
+        jnp.asarray(depth0), assocs[0].color_timestamp, jnp.asarray(gray0),
+    )
+    estimated = [pose_mod.identity()]
+    for a in assocs[1:]:
+        depth, gray = tum_rgbd.read_images(a)
+        trk.track(a.depth_timestamp, jnp.asarray(depth), a.color_timestamp, jnp.asarray(gray))
+        estimated.append(trk.current_frame()[1])
+    err = ate.ate_rmse(estimated, seq.poses)
+    assert err < 5e-3, err
+
+
+def test_cli_missing_file(capsys):
+    rc = vors_track.main(["fr1", "/nonexistent/associations.txt"])
+    assert rc == 1

@@ -1,0 +1,59 @@
+"""ATE/RPE evaluation tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from visual_odometry_rs_tpu.eval import ate
+from visual_odometry_rs_tpu.math import pose as pose_mod
+from visual_odometry_rs_tpu.math import se3
+
+
+def _traj(n, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    poses = [pose_mod.identity()]
+    for _ in range(n - 1):
+        xi = jnp.asarray(0.1 * scale * rng.normal(size=6), jnp.float32)
+        poses.append(pose_mod.compose(poses[-1], se3.exp(xi)))
+    return poses
+
+
+def test_ate_zero_for_identical():
+    traj = _traj(10)
+    assert ate.ate_rmse(traj, traj) < 1e-6
+
+
+def test_ate_invariant_to_rigid_transform():
+    traj = _traj(12, seed=1)
+    offset = se3.exp(jnp.array([1.0, -2.0, 0.5, 0.3, -0.2, 0.1]))
+    moved = [pose_mod.compose(offset, p) for p in traj]
+    assert ate.ate_rmse(moved, traj) < 1e-5
+
+
+def test_ate_detects_error():
+    traj = _traj(10, seed=2)
+    noisy = [
+        pose_mod.Pose(p.q, p.t + 0.05 * np.random.default_rng(i).normal(size=3).astype(np.float32))
+        for i, p in enumerate(traj)
+    ]
+    err = ate.ate_rmse(noisy, traj)
+    assert 0.01 < err < 0.2
+
+
+def test_umeyama_with_scale():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(20, 3))
+    R_gt, _, _ = np.linalg.svd(rng.normal(size=(3, 3)))
+    if np.linalg.det(R_gt) < 0:
+        R_gt[:, 0] *= -1
+    dst = 2.5 * src @ R_gt.T + np.array([1.0, 2.0, 3.0])
+    R, t, s = ate.umeyama_alignment(src, dst, with_scale=True)
+    np.testing.assert_allclose(s, 2.5, rtol=1e-6)
+    np.testing.assert_allclose(R, R_gt, atol=1e-6)
+    aligned = (s * (R @ src.T)).T + t
+    np.testing.assert_allclose(aligned, dst, atol=1e-6)
+
+
+def test_rpe():
+    traj = _traj(10, seed=4)
+    t_err, r_err = ate.rpe_rmse(traj, traj)
+    assert t_err < 1e-6 and r_err < 1e-3

@@ -1,0 +1,157 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference has no scaling layer (SURVEY §2.3); these tests pin down the
+green-field DP (sequences over a 'data' mesh axis) and TP-analog
+(candidate-point sharding with psum reductions) paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_odometry_rs_tpu.dataset import synthetic
+from visual_odometry_rs_tpu.math import pose as pose_mod
+from visual_odometry_rs_tpu.models import tracker as tracker_mod
+from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+from visual_odometry_rs_tpu.parallel import batch as batch_mod
+from visual_odometry_rs_tpu.parallel import mesh as mesh_mod
+from visual_odometry_rs_tpu.parallel import sharded as sharded_mod
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() >= 8
+
+
+@pytest.fixture(scope="module")
+def seqs():
+    # two distinct tiny sequences, replicated to a batch of 8
+    return [
+        synthetic.generate_sequence(nb_frames=3, height=48, width=64, seed=s)
+        for s in (0, 1)
+    ]
+
+
+def _batch_from(seqs, frame, B=8):
+    depths = np.stack([seqs[i % 2].depths[frame] for i in range(B)])
+    grays = np.stack([seqs[i % 2].grays[frame] for i in range(B)])
+    return jnp.asarray(depths), jnp.asarray(grays)
+
+
+def test_batched_matches_single(seqs):
+    """The vmapped batched step must reproduce per-sequence tracking."""
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    intrinsics = seqs[0].intrinsics
+    B = 4
+    d0, g0 = _batch_from(seqs, 0, B)
+    d1, g1 = _batch_from(seqs, 1, B)
+
+    state = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    new_state, diags = jax.jit(
+        lambda s, d, i: batch_mod.batched_track_step(config, intrinsics, s, d, i)
+    )(state, d1, g1)
+
+    # single-sequence functional step for comparison
+    for i in range(2):
+        s_single = batch_mod.init_state(config, intrinsics, d0[i], g0[i])
+        ns, dg = batch_mod.track_step(config, intrinsics, s_single, d1[i], g1[i])
+        # vmap reassociates f32 reductions; allow small numeric slack
+        np.testing.assert_allclose(
+            np.asarray(new_state.current_pose.t[i]), np.asarray(ns.current_pose.t),
+            atol=5e-5,
+        )
+        np.testing.assert_allclose(float(diags.flow[i]), float(dg.flow), rtol=1e-4)
+
+    # batch entries with the same input must produce identical outputs
+    np.testing.assert_allclose(
+        np.asarray(new_state.current_pose.t[0]), np.asarray(new_state.current_pose.t[2]),
+        atol=1e-6,
+    )
+
+
+def test_sharded_step_runs_on_mesh(seqs):
+    """The same batched step under a 'data' mesh sharding: SPMD across 8
+    virtual devices, results identical to unsharded."""
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    intrinsics = seqs[0].intrinsics
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    d0, g0 = _batch_from(seqs, 0, 8)
+    d1, g1 = _batch_from(seqs, 1, 8)
+
+    state = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    ref_state, ref_diags = jax.jit(
+        lambda s, d, i: batch_mod.batched_track_step(config, intrinsics, s, d, i)
+    )(state, d1, g1)
+
+    state_sh = mesh_mod.shard_batch(state, mesh)
+    d1_sh = mesh_mod.shard_batch(d1, mesh)
+    g1_sh = mesh_mod.shard_batch(g1, mesh)
+    step = batch_mod.make_sharded_step(config, intrinsics, mesh)
+    new_state, diags = step(state_sh, d1_sh, g1_sh)
+
+    # state sharding survived (leading dim split over 8 devices)
+    assert len(new_state.current_pose.t.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(new_state.current_pose.t), np.asarray(ref_state.current_pose.t),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(diags.flow), np.asarray(ref_diags.flow), rtol=1e-4
+    )
+
+
+def test_point_sharded_solve_matches_unsharded(seqs):
+    """Candidate-point sharding + psum must match the single-device solve."""
+    seq = seqs[0]
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    intrinsics = seq.intrinsics
+    pyr0 = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(seq.grays[0]))
+    kf = tracker_mod.precompute_keyframe(
+        config, intrinsics, jnp.asarray(seq.depths[0]), pyr0
+    )
+    obs = kf.levels[0]
+    img1 = jnp.asarray(seq.grays[1])
+
+    ref = tracker_mod.solve_level(obs, img1, pose_mod.identity())
+    mesh = mesh_mod.make_mesh((8,), ("points",))
+    model, failed, nb_iter = sharded_mod.solve_level_point_sharded(
+        obs, img1, pose_mod.identity(), mesh
+    )
+    assert not bool(failed)
+    assert int(nb_iter) == int(ref.nb_iter)
+    np.testing.assert_allclose(
+        np.asarray(model.t), np.asarray(ref.state.model.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.q), np.asarray(ref.state.model.q), atol=1e-6
+    )
+
+
+def test_keyframe_switch_select(seqs):
+    """Large motion in one batch element switches only that keyframe."""
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    seq_small = seqs[0]
+    seq_big = synthetic.generate_sequence(
+        nb_frames=2, height=48, width=64, seed=3,
+        twist_per_frame=[0.25, 0.0, 0.0, 0.0, 0.0, 0.0],
+    )
+    intrinsics = seq_small.intrinsics
+    depths0 = jnp.stack([jnp.asarray(seq_small.depths[0]), jnp.asarray(seq_big.depths[0])])
+    grays0 = jnp.stack([jnp.asarray(seq_small.grays[0]), jnp.asarray(seq_big.grays[0])])
+    depths1 = jnp.stack([jnp.asarray(seq_small.depths[1]), jnp.asarray(seq_big.depths[1])])
+    grays1 = jnp.stack([jnp.asarray(seq_small.grays[1]), jnp.asarray(seq_big.grays[1])])
+
+    state = batch_mod.batched_init_state(config, intrinsics, depths0, grays0)
+    new_state, diags = batch_mod.batched_track_step(
+        config, intrinsics, state, depths1, grays1
+    )
+    switched = np.asarray(diags.switched)
+    assert not switched[0] and switched[1], switched
+    # switched element's keyframe pose became its current pose
+    np.testing.assert_allclose(
+        np.asarray(new_state.keyframe_pose.t[1]),
+        np.asarray(new_state.current_pose.t[1]),
+        atol=1e-6,
+    )
+    # unswitched element's keyframe pose remains identity
+    np.testing.assert_allclose(np.asarray(new_state.keyframe_pose.t[0]), np.zeros(3), atol=1e-7)

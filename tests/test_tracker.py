@@ -1,0 +1,114 @@
+"""End-to-end se3 tracker tests on synthetic RGB-D sequences.
+
+The analog of running ``vors_track`` on a TUM sequence and checking ATE,
+but hermetic: an exactly-rendered textured plane with known poses.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_odometry_rs_tpu.dataset import synthetic
+from visual_odometry_rs_tpu.eval import ate
+from visual_odometry_rs_tpu.math import pose as pose_mod
+from visual_odometry_rs_tpu.models import tracker as tracker_mod
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate_sequence(nb_frames=6, height=120, width=160, seed=0)
+
+
+def make_tracker(seq, **overrides):
+    h, w = seq.grays[0].shape
+    defaults = dict(height=h, width=w, nb_levels=4, candidate_cap=2048)
+    defaults.update(overrides)
+    config = tracker_mod.TrackerConfig(**defaults)
+    return tracker_mod.init_tracker(
+        config,
+        seq.intrinsics,
+        float(seq.timestamps[0]),
+        jnp.asarray(seq.depths[0]),
+        float(seq.timestamps[0]),
+        jnp.asarray(seq.grays[0]),
+    )
+
+
+def run_tracking(seq, trk):
+    estimated = [pose_mod.identity()]
+    for f in range(1, len(seq.grays)):
+        trk.track(
+            float(seq.timestamps[f]),
+            jnp.asarray(seq.depths[f]),
+            float(seq.timestamps[f]),
+            jnp.asarray(seq.grays[f]),
+        )
+        _, p = trk.current_frame()
+        estimated.append(p)
+    return estimated
+
+
+def test_tracks_synthetic_sequence(seq):
+    trk = make_tracker(seq)
+    estimated = run_tracking(seq, trk)
+    err = ate.ate_rmse(estimated, seq.poses)
+    # motion is ~1cm/frame; tracking should be millimeter-accurate
+    assert err < 5e-3, f"ATE RMSE {err}"
+    assert not trk.last_failed
+
+
+def test_static_camera_stays_put(seq):
+    trk = make_tracker(seq)
+    for _ in range(3):
+        trk.track(0.1, jnp.asarray(seq.depths[0]), 0.1, jnp.asarray(seq.grays[0]))
+    _, p = trk.current_frame()
+    assert float(jnp.linalg.norm(p.t)) < 1e-4
+    assert trk.last_flow < 0.05
+
+
+def test_keyframe_switch_on_large_motion():
+    # steady sideways motion accumulates flow past the >= 1 px criterion at
+    # the coarsest level (inverse_compositional.rs:224)
+    seq = synthetic.generate_sequence(
+        nb_frames=8, height=120, width=160, seed=1,
+        twist_per_frame=[0.04, 0.0, 0.0, 0.0, 0.0, 0.0],
+    )
+    trk = make_tracker(seq)
+    run_tracking(seq, trk)
+    assert trk.keyframe_switches >= 1
+
+
+def test_precompute_candidate_masks(seq):
+    trk = make_tracker(seq)
+    kf = trk.keyframe_data
+    counts = [int(jnp.sum(lvl.valid)) for lvl in kf.levels]
+    assert all(c > 20 for c in counts), counts
+    # finest-level candidates must be a subset of pixels with known depth
+    lvl0 = kf.levels[0]
+    xs = np.asarray(lvl0.xs, int)[np.asarray(lvl0.valid)]
+    ys = np.asarray(lvl0.ys, int)[np.asarray(lvl0.valid)]
+    depth0 = np.asarray(seq.depths[0])
+    assert (depth0[ys, xs] > 0).all()
+    # inverse depths must match scale/depth
+    z = np.asarray(lvl0.idepth)[np.asarray(lvl0.valid)]
+    np.testing.assert_allclose(z, 5000.0 / depth0[ys, xs], rtol=1e-5)
+
+
+def test_track_frame_identity_motion(seq):
+    # Tracking the keyframe image itself must give (near-)identity motion.
+    trk = make_tracker(seq)
+    pyr = trk._pyramid(jnp.asarray(seq.grays[0]))
+    result = tracker_mod.track_frame(trk.config, trk.keyframe_data, pyr, pose_mod.identity())
+    assert float(jnp.linalg.norm(result.model.t)) < 1e-5
+    assert float(result.flow) < 1e-3
+
+
+def test_interp_methods_agree(seq):
+    # "gather" (XLA) and "onehot" (MXU) paths must produce the same track.
+    t1 = make_tracker(seq)
+    t2 = make_tracker(seq, interp_method="onehot")
+    e1 = run_tracking(seq, t1)
+    e2 = run_tracking(seq, t2)
+    for p1, p2 in zip(e1, e2):
+        np.testing.assert_allclose(np.asarray(p1.t), np.asarray(p2.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(p1.q), np.asarray(p2.q), atol=1e-4)

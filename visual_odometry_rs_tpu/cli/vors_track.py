@@ -1,0 +1,99 @@
+"""CLI: track a TUM RGB-D sequence and print the trajectory to stdout.
+
+The product entry point, mirroring reference ``src/bin/vors_track.rs``:
+
+    python -m visual_odometry_rs_tpu.cli.vors_track [fr1|fr2|fr3|icl] associations_file
+
+Prints one TUM-format pose line per tracked frame to stdout
+(``timestamp tx ty tz qx qy qz qw``); diagnostics (optical flow, keyframe
+switches, failures) go to stderr — the reference's clean stdout/stderr
+separation (vors_track.rs:63 vs inverse_compositional.rs:222).
+
+Config matches the reference's hardcoded values (vors_track.rs:34-40):
+nb_levels=6, candidates_diff_threshold=7, depth_scale=5000,
+idepth_variance=1e-4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+USAGE = "Usage: vors_track [fr1|fr2|fr3|icl] associations_file"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(usage=USAGE)
+    parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
+    parser.add_argument("associations_file")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--nb-levels", type=int, default=6)
+    parser.add_argument("--diff-threshold", type=int, default=7)
+    parser.add_argument("--candidate-cap", type=int, default=8192)
+    parser.add_argument(
+        "--interp", choices=["gather", "onehot"], default="gather",
+        help="bilinear sampling implementation",
+    )
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..dataset import tum_rgbd
+    from ..models import tracker as tracker_mod
+
+    intrinsics = tum_rgbd.INTRINSICS[args.camera_id]()
+    try:
+        associations = tum_rgbd.load_associations(args.associations_file)
+    except OSError as e:
+        print(USAGE, file=sys.stderr)
+        print(f"The association file does not exist or is not reachable: {e}", file=sys.stderr)
+        return 1
+    if not associations:
+        print("Empty associations file", file=sys.stderr)
+        return 1
+
+    depth0, gray0 = tum_rgbd.read_images(associations[0])
+    h, w = gray0.shape
+    config = tracker_mod.TrackerConfig(
+        height=h,
+        width=w,
+        nb_levels=args.nb_levels,
+        candidates_diff_threshold=args.diff_threshold,
+        depth_scale=tum_rgbd.DEPTH_SCALE,
+        idepth_variance=1e-4,
+        candidate_cap=args.candidate_cap,
+        interp_method=args.interp,
+    )
+    trk = tracker_mod.init_tracker(
+        config,
+        intrinsics,
+        associations[0].depth_timestamp,
+        jnp.asarray(depth0),
+        associations[0].color_timestamp,
+        jnp.asarray(gray0),
+    )
+
+    for assoc in associations[1:]:
+        depth, gray = tum_rgbd.read_images(assoc)
+        trk.track(
+            assoc.depth_timestamp,
+            jnp.asarray(depth),
+            assoc.color_timestamp,
+            jnp.asarray(gray),
+        )
+        print(f"Optical_flow: {trk.last_flow}", file=sys.stderr)
+        if trk.last_failed:
+            print("Error at Cholesky decomposition of hessian", file=sys.stderr)
+        timestamp, pose = trk.current_frame()
+        print(tum_rgbd.Frame(timestamp=timestamp, pose=pose).to_string(), flush=True)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

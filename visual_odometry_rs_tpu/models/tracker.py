@@ -1,0 +1,436 @@
+"""Inverse-compositional se(3) RGB-D tracker — the flagship model.
+
+Capability parity with reference ``src/core/track/inverse_compositional.rs`` +
+``src/core/track/lm_optimizer.rs``: DSO-style sparse candidates over a
+multi-scale mean pyramid, per-keyframe precomputed warp Jacobians and
+Gauss-Newton Hessians (the inverse-compositional trick), per-frame
+coarse-to-fine Levenberg-Marquardt alignment on se(3), and keyframe switching
+on mean optical flow >= 1 px at the coarsest level.
+
+TPU-first design (vs the reference's per-point Rust loops):
+
+- **Fixed shapes everywhere.** The reference compacts candidates into
+  variable-length Vecs (inverse_compositional.rs:260-279) and drops
+  out-of-bounds points per iteration (lm_optimizer.rs:76-83).  Here candidate
+  arrays are padded to a static per-level capacity with a validity mask;
+  out-of-bounds warps contribute zero weight, and the energy normalizes by
+  the masked count — numerically equivalent to the reference's
+  mean-over-inside-points energy.
+- **One fused reduction per LM iteration.** ``g = Jᵀ(r·m)`` and
+  ``H = (J·m)ᵀJ`` are a single (6, N) x (N, 7) matmul on the MXU.
+- **lax.while_loop LM, static 6-level loop.** A whole frame's track — all
+  pyramid levels, all LM iterations, the optical-flow check — jits into one
+  XLA computation with no host round-trips.
+- **Keyframe switching stays functional**: ``precompute_keyframe`` is itself
+  jittable, and the batched/sharded driver (``parallel/``) swaps keyframe
+  state with ``lax.cond`` double-buffering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as camera_mod
+from ..core import inverse_depth as idepth_mod
+from ..core.camera import Intrinsics
+from ..core.candidates import coarse_to_fine
+from ..math import pose as pose_mod
+from ..math import se3
+from ..math.optimizer import LMState, damped_solve, iterative_solve, lm_update
+from ..math.pose import Pose
+from ..ops import gradient as gradient_ops
+from ..ops import interp
+from ..ops import pyramid as pyramid_ops
+from ..utils.types import Float
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Static tracker configuration (the analog of ``track::Config``,
+    inverse_compositional.rs:37-49, plus the magic numbers the reference
+    hard-codes inside the optimizer, surfaced per SURVEY §5).
+    """
+
+    height: int
+    width: int
+    nb_levels: int = 6
+    candidates_diff_threshold: int = 7
+    depth_scale: float = 5000.0
+    idepth_variance: float = 1e-4
+    # LM schedule (lm_optimizer.rs:115,157,173,179,187)
+    lm_coef_init: float = 0.1
+    max_iterations: int = 20
+    energy_tol: float = 1.0
+    # keyframe switch threshold in px of mean optical flow
+    # (inverse_compositional.rs:224)
+    flow_threshold: float = 1.0
+    # static per-level candidate capacity; level capacity is
+    # min(candidate_cap, pixels at that level)
+    candidate_cap: int = 8192
+    # bilinear sampling implementation: "gather" (XLA) or "onehot" (MXU)
+    interp_method: str = "gather"
+
+    def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
+
+    def level_caps(self) -> Tuple[int, ...]:
+        return tuple(
+            min(self.candidate_cap, h * w) for h, w in self.level_shapes()
+        )
+
+
+class LevelObs(NamedTuple):
+    """Per-level keyframe observation data (the analog of ``lm_optimizer::Obs``
+    + the per-level slices of ``MultiresData``, inverse_compositional.rs:64-70).
+    All arrays have static shapes; ``valid`` masks the padded candidates."""
+
+    intrinsics: Intrinsics
+    template: jnp.ndarray  # (H, W) u8 keyframe image at this level
+    xs: jnp.ndarray  # (N,) f32 candidate column coords
+    ys: jnp.ndarray  # (N,) f32 candidate row coords
+    idepth: jnp.ndarray  # (N,) f32 inverse depths
+    valid: jnp.ndarray  # (N,) bool: real candidate vs padding
+    tmpl_vals: jnp.ndarray  # (N,) f32 template intensities at candidates
+    jacobians: jnp.ndarray  # (N, 6) f32 precomputed warp jacobians
+
+
+class KeyframeData(NamedTuple):
+    levels: Tuple[LevelObs, ...]
+
+
+def warp_jacobian(gu, gv, u, v, idepth, k: Intrinsics) -> jnp.ndarray:
+    """Analytic 6-dof inverse-compositional warp Jacobian, (…, 6).
+
+    Formula from inverse_compositional.rs:313-341 (image gradient (gu, gv)
+    chained with the projection derivative at inverse depth ``idepth``).
+    """
+    cu, cv, fu, fv, s = k.cx, k.cy, k.fx, k.fy, k.skew
+    a = u - cu
+    b = v - cv
+    c = a * fv - s * b
+    inv_fv = 1.0 / fv
+    inv_fuv = 1.0 / (fu * fv)
+    z = idepth
+    return jnp.stack(
+        [
+            gu * z * fu,
+            z * (gu * s + gv * fv),
+            -z * (gu * a + gv * b),
+            gu * (-a * b * inv_fv - s) + gv * (-b * b * inv_fv - fv),
+            gu * (a * c * inv_fuv + fu) + gv * (b * c * inv_fuv),
+            gu * (-fu * fu * b + s * c) * inv_fuv + gv * (c / fu),
+        ],
+        axis=-1,
+    )
+
+
+def _keyframe_gradients(img_pyramid: List[jnp.ndarray]):
+    """Per-level (gx, gy): centered at level 0, 2x2-block for levels >= 1
+    (inverse_compositional.rs:111-117)."""
+    grads = [gradient_ops.centered(img_pyramid[0])]
+    grads.extend(gradient_ops.gradients_xy(img_pyramid))
+    return grads
+
+
+def _extract_candidates(
+    idmap: idepth_mod.InverseDepthMap, cap: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact the known-idepth pixels of a level into fixed-size arrays.
+
+    The TPU replacement for the reference's Vec compaction ``extract_z``
+    (inverse_compositional.rs:260-279): ``jnp.nonzero`` with a static
+    ``size`` plus a validity mask.  Row-major ordering (the reference is
+    column-major; ordering only permutes the masked reductions).
+    """
+    known = idmap.known
+    count = jnp.sum(known.astype(jnp.int32))
+    ys, xs = jnp.nonzero(known, size=cap, fill_value=0)
+    valid = jnp.arange(cap) < count
+    z = idmap.idepth[ys, xs]
+    return xs.astype(Float), ys.astype(Float), z, valid
+
+
+def precompute_keyframe(
+    config: TrackerConfig,
+    intrinsics: Intrinsics,
+    depth_map: jnp.ndarray,
+    img_pyramid: List[jnp.ndarray],
+) -> KeyframeData:
+    """Precompute all per-keyframe data (inverse_compositional.rs:105-161).
+
+    Candidate masks from coarse-to-fine gradient selection, inverse-depth
+    pyramid fused with the DSO-mean strategy, and per-candidate Jacobians and
+    template intensities at every level.  Jittable; runs at init and on every
+    keyframe switch.
+    """
+    nb_levels = len(img_pyramid)
+    intr_levels = camera_mod.multi_res(intrinsics, nb_levels)
+    grads = _keyframe_gradients(img_pyramid)
+    sqn = [gradient_ops.squared_norm(gx, gy) for gx, gy in grads]
+
+    finest_mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
+
+    id0 = idepth_mod.masked(
+        idepth_mod.from_depth(config.depth_scale, depth_map, config.idepth_variance),
+        finest_mask,
+    )
+    id_levels = idepth_mod.pyramid(id0, nb_levels, strategy="dso_mean")
+
+    caps = config.level_caps()
+    levels = []
+    for lvl in range(nb_levels):
+        k = intr_levels[lvl]
+        xs, ys, z, valid = _extract_candidates(id_levels[lvl], caps[lvl])
+        yi = ys.astype(jnp.int32)
+        xi = xs.astype(jnp.int32)
+        gx, gy = grads[lvl]
+        gu = gx[yi, xi].astype(Float)
+        gv = gy[yi, xi].astype(Float)
+        jac = warp_jacobian(gu, gv, xs, ys, z, k)
+        jac = jnp.where(valid[:, None], jac, 0.0)
+        tmpl_vals = img_pyramid[lvl][yi, xi].astype(Float)
+        levels.append(
+            LevelObs(
+                intrinsics=k,
+                template=img_pyramid[lvl],
+                xs=xs,
+                ys=ys,
+                idepth=z,
+                valid=valid,
+                tmpl_vals=tmpl_vals,
+                jacobians=jac,
+            )
+        )
+    return KeyframeData(levels=tuple(levels))
+
+
+# ---------------------------------------------------------------------------
+# Per-level LM solve
+# ---------------------------------------------------------------------------
+
+
+def _eval_energy(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
+    """Warp + sample + residual pass (lm_optimizer.rs:68-87).
+
+    energy = Σ_inside r² / #inside, where inside = valid candidate whose warp
+    lands in the interpolation domain.
+    """
+    u, v = camera_mod.warp(model, obs.xs, obs.ys, obs.idepth, obs.intrinsics)
+    vals, in_img = interp.bilinear(image, u, v, method)
+    inside = jnp.logical_and(in_img, obs.valid)
+    r = jnp.where(inside, vals - obs.tmpl_vals, 0.0)
+    count = jnp.sum(inside).astype(Float)
+    energy = jnp.sum(r * r) / count  # NaN when count == 0, like the reference
+    return energy, r, inside
+
+
+def _eval_full(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
+    """Energy + Jᵀr + Σ JJᵀ in one fused masked matmul
+    (lm_optimizer.rs:90-107)."""
+    energy, r, inside = _eval_energy(obs, image, model, method)
+    maskf = inside.astype(Float)
+    jm = obs.jacobians * maskf[:, None]  # (N, 6)
+    rhs = jnp.concatenate([obs.jacobians, r[:, None]], axis=1)  # (N, 7)
+    m = jnp.matmul(jm.T, rhs, precision=jax.lax.Precision.HIGHEST)
+    return energy, m[:, 6], m[:, :6]
+
+
+def solve_level(
+    obs: LevelObs,
+    image: jnp.ndarray,
+    model0: Pose,
+    *,
+    lm_coef_init: float = 0.1,
+    max_iterations: int = 20,
+    energy_tol: float = 1.0,
+    interp_method: str = "gather",
+):
+    """LM solve of one pyramid level (the reference's
+    ``LMOptimizerState::iterative_solve`` instantiation, lm_optimizer.rs:111-193).
+
+    Step: damp diag ×(1+λ), 6x6 Cholesky, inverse-compositional update
+    ``model ∘ exp(δ)⁻¹`` with first-order quaternion renormalization.
+    """
+
+    def init(_, model):
+        energy, grad, hess = _eval_full(obs, image, model, interp_method)
+        return LMState(model, energy, grad, hess, jnp.asarray(lm_coef_init, Float))
+
+    def step(state):
+        delta = damped_solve(state.hessian, state.gradient, state.lm_coef)
+        new_model = pose_mod.compose(state.model, pose_mod.inverse(se3.exp(delta)))
+        return pose_mod.renormalize_first_order(new_model)
+
+    def eval_fn(_, state, new_model):
+        energy, grad, hess = _eval_full(obs, image, new_model, interp_method)
+        return (new_model, energy, grad, hess)
+
+    def stop(state, nb_iter, eval_out):
+        new_model, energy, grad, hess = eval_out
+        return lm_update(
+            state, nb_iter, new_model, energy, grad, hess,
+            max_iterations=max_iterations, energy_tol=energy_tol,
+        )
+
+    return iterative_solve(
+        None, model0,
+        init=init, step=step, eval_fn=eval_fn, stop_criterion=stop,
+        max_iterations=max_iterations + 3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-frame tracking
+# ---------------------------------------------------------------------------
+
+
+class TrackResult(NamedTuple):
+    model: Pose  # keyframe → current-frame motion estimate
+    failed: jnp.ndarray  # bool: some level's Cholesky failed
+    flow: jnp.ndarray  # mean abs optical flow at coarsest level (px)
+
+
+def track_frame(
+    config: TrackerConfig,
+    kf: KeyframeData,
+    img_pyramid: List[jnp.ndarray],
+    init_model: Pose,
+) -> TrackResult:
+    """Coarse-to-fine LM alignment of one frame against the keyframe
+    (inverse_compositional.rs:170-240, minus the host-side state updates).
+
+    On a level failure the remaining levels are skipped (the reference breaks
+    the loop and the frame keeps its previous pose; the caller handles that).
+    """
+    model = init_model
+    failed = jnp.asarray(False)
+    for lvl in reversed(range(config.nb_levels)):
+        result = solve_level(
+            kf.levels[lvl],
+            img_pyramid[lvl],
+            model,
+            lm_coef_init=config.lm_coef_init,
+            max_iterations=config.max_iterations,
+            energy_tol=config.energy_tol,
+            interp_method=config.interp_method,
+        )
+        # keep the previous model on failure; freeze after the first failure
+        model = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(failed | result.failed, old, new),
+            result.state.model,
+            model,
+        )
+        failed = jnp.logical_or(failed, result.failed)
+
+    # Optical-flow keyframe criterion at the coarsest level
+    # (inverse_compositional.rs:211-222): mean |Δu| + |Δv| over candidates.
+    coarse = kf.levels[-1]
+    u, v = camera_mod.warp(model, coarse.xs, coarse.ys, coarse.idepth, coarse.intrinsics)
+    dflow = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
+    validf = coarse.valid.astype(Float)
+    flow = jnp.sum(dflow * validf) / jnp.sum(validf)
+    return TrackResult(model=model, failed=failed, flow=flow)
+
+
+# ---------------------------------------------------------------------------
+# Host-side Tracker: the reference's 4-call product API
+# ---------------------------------------------------------------------------
+
+
+class Tracker:
+    """Stateful camera tracker over an RGB-D stream.
+
+    Mirrors the reference's product API (``Config::init`` →
+    ``Tracker::track`` → ``Tracker::current_frame``,
+    src/bin/vors_track.rs:34-63).  The per-frame compute (pyramid, 6-level LM,
+    flow) runs as jitted XLA computations; only the keyframe-switch decision
+    and timestamps live on the host.  For the fully-fused batched/sharded
+    tracker see ``parallel.batch``.
+    """
+
+    def __init__(
+        self,
+        config: TrackerConfig,
+        intrinsics: Intrinsics,
+        depth_timestamp: float,
+        depth_map: jnp.ndarray,
+        img_timestamp: float,
+        img: jnp.ndarray,
+    ):
+        self.config = config
+        self.intrinsics = intrinsics
+        self._pyramid = jax.jit(
+            lambda img: pyramid_ops.mean_pyramid(config.nb_levels, img)
+        )
+        self._precompute = jax.jit(
+            lambda depth, pyr: precompute_keyframe(config, intrinsics, depth, pyr)
+        )
+        self._track = jax.jit(
+            lambda kf, pyr, model: track_frame(config, kf, pyr, model)
+        )
+
+        pyr = self._pyramid(img)
+        self.keyframe_data = self._precompute(depth_map, pyr)
+        self.keyframe_pose = pose_mod.identity()
+        self.keyframe_depth_timestamp = depth_timestamp
+        self.keyframe_img_timestamp = img_timestamp
+        self.current_pose = pose_mod.identity()
+        self.current_depth_timestamp = depth_timestamp
+        self.current_img_timestamp = img_timestamp
+        # per-frame diagnostics (metrics/observability; SURVEY §5)
+        self.last_flow: float = 0.0
+        self.last_failed: bool = False
+        self.keyframe_switches: int = 0
+
+    def track(
+        self,
+        depth_timestamp: float,
+        depth_map: jnp.ndarray,
+        img_timestamp: float,
+        img: jnp.ndarray,
+    ) -> None:
+        """Track one frame (inverse_compositional.rs:170-240)."""
+        init_model = pose_mod.compose(
+            pose_mod.inverse(self.current_pose), self.keyframe_pose
+        )
+        pyr = self._pyramid(img)
+        result = self._track(self.keyframe_data, pyr, init_model)
+
+        failed = bool(result.failed)
+        self.current_depth_timestamp = depth_timestamp
+        self.current_img_timestamp = img_timestamp
+        if not failed:
+            self.current_pose = pose_mod.compose(
+                self.keyframe_pose, pose_mod.inverse(result.model)
+            )
+        self.last_failed = failed
+        self.last_flow = float(result.flow)
+
+        if self.last_flow >= self.config.flow_threshold:
+            self.keyframe_data = self._precompute(depth_map, pyr)
+            self.keyframe_depth_timestamp = depth_timestamp
+            self.keyframe_img_timestamp = img_timestamp
+            self.keyframe_pose = self.current_pose
+            self.keyframe_switches += 1
+
+    def current_frame(self) -> Tuple[float, Pose]:
+        """(depth timestamp, pose) of the last tracked frame
+        (inverse_compositional.rs:243-248)."""
+        return self.current_depth_timestamp, self.current_pose
+
+
+def init_tracker(
+    config: TrackerConfig,
+    intrinsics: Intrinsics,
+    depth_timestamp: float,
+    depth_map: jnp.ndarray,
+    img_timestamp: float,
+    img: jnp.ndarray,
+) -> Tracker:
+    """The analog of ``Config::init`` (inverse_compositional.rs:74-100)."""
+    return Tracker(config, intrinsics, depth_timestamp, depth_map, img_timestamp, img)
