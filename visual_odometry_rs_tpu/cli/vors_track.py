@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
     parser.add_argument(
-        "--interp", choices=["gather", "onehot"], default="gather",
+        "--interp", choices=["auto", "gather", "onehot"], default="auto",
         help="bilinear sampling implementation",
     )
     args = parser.parse_args(argv)

