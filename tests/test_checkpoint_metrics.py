@@ -1,0 +1,70 @@
+"""Checkpoint/resume and metrics tests (SURVEY §5 subsystems)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from visual_odometry_rs_tpu.dataset import synthetic
+from visual_odometry_rs_tpu.models import tracker as tracker_mod
+from visual_odometry_rs_tpu.utils import checkpoint, metrics
+
+
+def test_checkpoint_resume_tracker(tmp_path):
+    seq = synthetic.generate_sequence(nb_frames=4, height=48, width=64, seed=0)
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+
+    def new_tracker():
+        return tracker_mod.init_tracker(
+            config, seq.intrinsics,
+            float(seq.timestamps[0]), jnp.asarray(seq.depths[0]),
+            float(seq.timestamps[0]), jnp.asarray(seq.grays[0]),
+        )
+
+    # track 2 frames, checkpoint, track the 3rd
+    trk = new_tracker()
+    for f in (1, 2):
+        trk.track(float(seq.timestamps[f]), jnp.asarray(seq.depths[f]),
+                  float(seq.timestamps[f]), jnp.asarray(seq.grays[f]))
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_tracker(path, trk)
+    trk.track(float(seq.timestamps[3]), jnp.asarray(seq.depths[3]),
+              float(seq.timestamps[3]), jnp.asarray(seq.grays[3]))
+    ts_ref, pose_ref = trk.current_frame()
+
+    # fresh tracker, restore, track the 3rd frame -> identical result
+    trk2 = new_tracker()
+    checkpoint.load_tracker(path, trk2)
+    trk2.track(float(seq.timestamps[3]), jnp.asarray(seq.depths[3]),
+               float(seq.timestamps[3]), jnp.asarray(seq.grays[3]))
+    ts2, pose2 = trk2.current_frame()
+    assert ts2 == ts_ref
+    np.testing.assert_allclose(np.asarray(pose2.t), np.asarray(pose_ref.t), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pose2.q), np.asarray(pose_ref.q), atol=1e-7)
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5), "b": (jnp.ones((2, 3)), jnp.asarray(2.5))}
+    path = str(tmp_path / "t.npz")
+    checkpoint.save_pytree(path, tree, {"k": 1})
+    restored, meta = checkpoint.load_pytree(path, tree)
+    assert meta == {"k": 1}
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
+    np.testing.assert_array_equal(np.asarray(restored["b"][0]), np.ones((2, 3)))
+
+
+def test_session_metrics():
+    s = metrics.SessionMetrics()
+    for i in range(4):
+        s.record(metrics.FrameMetrics(
+            frame_index=i, timestamp=i / 30.0, optical_flow=0.5 * i,
+            keyframe_switched=(i == 2), failed=False, track_seconds=0.01,
+        ))
+    assert s.nb_frames == 4
+    assert s.nb_keyframe_switches == 1
+    assert s.nb_failures == 0
+    assert abs(s.mean_fps - 100.0) < 1e-6
+    summary = s.summary()
+    assert summary["frames"] == 4
+    # JSON-serializable records
+    import json
+
+    json.loads(s.frames[0].to_json())
