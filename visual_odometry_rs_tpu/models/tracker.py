@@ -231,7 +231,23 @@ def _eval_energy(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
 
 def _eval_full(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
     """Energy + Jᵀr + Σ JJᵀ in one fused masked matmul
-    (lm_optimizer.rs:90-107)."""
+    (lm_optimizer.rs:90-107).
+
+    ``method="pallas"`` routes the whole evaluation (warp + bilinear +
+    residual + reductions) through the fused Pallas TPU kernel.
+    """
+    if method == "pallas":
+        from ..ops.pallas import residual_kernel
+
+        k = obs.intrinsics
+        intr_params = jnp.stack([k.cx, k.cy, k.fx, k.fy, k.skew])
+        m, rsq, count = residual_kernel.fused_residual_reduce(
+            image.astype(Float), obs.xs, obs.ys, obs.idepth, obs.tmpl_vals,
+            obs.valid, obs.jacobians, model.q, model.t, intr_params,
+            interpret=jax.default_backend() != "tpu",
+        )
+        energy = rsq / count
+        return energy, m[:, 6], m[:, :6]
     energy, r, inside = _eval_energy(obs, image, model, method)
     maskf = inside.astype(Float)
     jm = obs.jacobians * maskf[:, None]  # (N, 6)
