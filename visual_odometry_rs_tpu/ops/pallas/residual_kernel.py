@@ -9,13 +9,15 @@ lm_optimizer.rs:68-87 and :90-107).
 Why a kernel: the XLA one-hot formulation materializes the (N, H) row and
 (N, W) column selection matrices in HBM (~22 MB per iteration at level 0).
 Here the image level lives in VMEM for the whole kernel, the one-hot tiles
-are built and consumed in VMEM per 256-point tile, and only the candidate
-arrays and a (8, 128)-padded accumulator touch HBM.  The two matmuls
-(rows @ image on the MXU, and the (6+1)-column reduction) never leave the
-chip.
+are built and consumed in VMEM per point tile, and only the candidate arrays
+and an (8, 128) accumulator touch HBM.
 
-Grid: one program per point tile, sequentially revisiting a single
-accumulator block (TPU grid order makes += safe).
+Mosaic-friendly structure: candidate data is laid out (TILE, 1) so every
+intermediate is 2D; all scalar reductions (Σr², Σmask) are folded into the
+single (8, TILE)x(TILE, 8) MXU contraction as extra columns — the kernel has
+no vector reductions at all except the per-point lane reduction of the
+bilinear product.  Grid programs sequentially revisit one accumulator block
+(TPU grid order makes += safe).
 """
 
 from __future__ import annotations
@@ -56,14 +58,14 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
     fy = params_ref[0, 10]
     skew = params_ref[0, 11]
 
-    xs = xs_ref[0, :]
-    ys = ys_ref[0, :]
-    z = z_ref[0, :]
-    tmpl = tmpl_ref[0, :]
-    valid = valid_ref[0, :] > 0.5  # f32 mask (bool refs are awkward in VMEM)
+    xs = xs_ref[:]  # (TILE, 1)
+    ys = ys_ref[:]
+    z = z_ref[:]
+    tmpl = tmpl_ref[:]
+    valid = valid_ref[:] > 0.5
 
     # --- warp: back-project, rotate+translate, project (camera.rs:126-140,
-    # lm_optimizer.rs:213-219) -------------------------------------------
+    # lm_optimizer.rs:213-219); all (TILE, 1) --------------------------------
     depth = 1.0 / z
     py = (ys - cy) * depth / fy
     px = ((xs - cx) * depth - skew * py) / fx
@@ -78,51 +80,47 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
     u = (fx * rx + skew * ry + cx * rz) / rz
     v = (fy * ry + cy * rz) / rz
 
-    # --- bilinear sample via in-VMEM one-hot matmuls ----------------------
+    # --- bilinear sample via in-VMEM one-hot matmuls ------------------------
     height, width = img_ref.shape
     uf = jnp.floor(u)
     vf = jnp.floor(v)
+    # NaN/Inf coords (e.g. padding candidates with idepth 0) compare False
     inside = (uf >= 0.0) & (uf < width - 2) & (vf >= 0.0) & (vf < height - 2) & valid
-    u0 = jnp.clip(uf.astype(jnp.int32), 0, width - 2)
-    v0 = jnp.clip(vf.astype(jnp.int32), 0, height - 2)
-    a = u - uf
-    b = v - vf
+    # sanitize: outside/invalid points sample pixel (0, 0) with weight 0 so no
+    # NaN can leak through the mask (NaN * 0 == NaN)
+    u0 = jnp.where(inside, jnp.clip(uf.astype(jnp.int32), 0, width - 2), 0)
+    v0 = jnp.where(inside, jnp.clip(vf.astype(jnp.int32), 0, height - 2), 0)
+    a = jnp.where(inside, u - uf, 0.0)
+    b = jnp.where(inside, v - vf, 0.0)
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, height), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
-    rows = jnp.where(row_idx == v0[:, None], (1.0 - b)[:, None], 0.0) + jnp.where(
-        row_idx == v0[:, None] + 1, b[:, None], 0.0
-    )
-    cols = jnp.where(col_idx == u0[:, None], (1.0 - a)[:, None], 0.0) + jnp.where(
-        col_idx == u0[:, None] + 1, a[:, None], 0.0
-    )
+    rows = jnp.where(row_idx == v0, 1.0 - b, 0.0) + jnp.where(row_idx == v0 + 1, b, 0.0)
+    cols = jnp.where(col_idx == u0, 1.0 - a, 0.0) + jnp.where(col_idx == u0 + 1, a, 0.0)
     interp_rows = jnp.dot(rows, img_ref[:], preferred_element_type=jnp.float32)
-    vals = jnp.sum(interp_rows * cols, axis=1)
+    vals = jnp.sum(interp_rows * cols, axis=1, keepdims=True)  # (TILE, 1)
 
-    maskf = inside.astype(jnp.float32)
-    r = (vals - tmpl) * maskf
+    maskf = inside.astype(jnp.float32)  # (TILE, 1)
+    r = jnp.where(inside, vals - tmpl, 0.0)
 
-    # --- fused normal-equation reduction ----------------------------------
+    # --- everything-in-one MXU contraction ----------------------------------
+    # lhs cols: [J·m (6) | r | m],  rhs cols: [J (6) | r | m]
+    #   m8 = lhsᵀ rhs:  m8[:6,:6] = H,  m8[:6,6] = g,
+    #                   m8[6,6]  = Σr², m8[7,7]  = Σ mask
     jac = jac_ref[:]  # (TILE, 8): 6 jacobian cols + zero padding
-    jm = jac * maskf[:, None]
-    # rhs = [J | r | 0]: write r into padded column 6 with an iota select
     col8 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
-    rhs = jnp.where(col8 == 6, r[:, None], jac)
-    m = jnp.dot(jm.T, rhs, preferred_element_type=jnp.float32)  # (8, 8); rows 6,7 zero
+    lhs = jnp.where(col8 == 6, r, jnp.where(col8 == 7, maskf, jac * maskf))
+    rhs = jnp.where(col8 == 6, r, jnp.where(col8 == 7, maskf, jac))
+    m8 = jax.lax.dot_general(
+        lhs, rhs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (8, 8)
 
-    # accumulator layout: rows 0-5 cols 0-7 = [H | g | 0], row 6 col 0 = Σr²,
-    # row 6 col 1 = Σ mask.  Widen (8,8) -> (8,128) with a one-hot selector
-    # matmul (dynamic_update_slice is not lowerable on TPU Pallas).
+    # widen (8, 8) -> (8, 128) with a one-hot selector matmul
     sel = (
         jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     ).astype(jnp.float32)
-    acc = jnp.dot(m, sel, preferred_element_type=jnp.float32)  # (8, 128)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    acc = jnp.where((row_i == 6) & (col_i == 0), jnp.sum(r * r), acc)
-    acc = jnp.where((row_i == 6) & (col_i == 1), jnp.sum(maskf), acc)
-    out_ref[:] += acc
+    out_ref[:] += jnp.dot(m8, sel, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -141,8 +139,8 @@ def fused_residual_reduce(
 ):
     """Returns ``(m (6,7), rsq, count)`` for one LM evaluation.
 
-    ``intr_params = [cx, cy, fx, fy, skew]``.  Candidate arrays are padded to
-    a multiple of TILE by the caller (`valid` covers the padding).
+    ``intr_params = [cx, cy, fx, fy, skew]``.  Candidate arrays of any length
+    are padded to a multiple of TILE (padding has ``valid`` False).
     """
     n = xs.shape[0]
     if n % TILE != 0:
@@ -159,19 +157,19 @@ def fused_residual_reduce(
     params = jnp.concatenate([pose_q, pose_t, intr_params]).astype(Float).reshape(1, _N_PARAMS)
     jac_padded = jnp.pad(jacobians.astype(Float), ((0, 0), (0, 2)))
 
-    def row_spec():
-        return pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    def col_spec():
+        return pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _kernel,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, _N_PARAMS), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            row_spec(),
-            row_spec(),
-            row_spec(),
-            row_spec(),
-            row_spec(),
+            col_spec(),
+            col_spec(),
+            col_spec(),
+            col_spec(),
+            col_spec(),
             pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(image_f32.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -180,15 +178,15 @@ def fused_residual_reduce(
         interpret=interpret,
     )(
         params,
-        xs.astype(Float).reshape(1, n),
-        ys.astype(Float).reshape(1, n),
-        idepth.astype(Float).reshape(1, n),
-        tmpl_vals.astype(Float).reshape(1, n),
-        valid.astype(Float).reshape(1, n),
+        xs.astype(Float).reshape(n, 1),
+        ys.astype(Float).reshape(n, 1),
+        idepth.astype(Float).reshape(n, 1),
+        tmpl_vals.astype(Float).reshape(n, 1),
+        valid.astype(Float).reshape(n, 1),
         jac_padded,
         image_f32,
     )
     m = out[:6, :7]
-    rsq = out[6, 0]
-    count = out[6, 1]
+    rsq = out[6, 6]
+    count = out[7, 7]
     return m, rsq, count
