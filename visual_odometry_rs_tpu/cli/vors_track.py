@@ -31,9 +31,15 @@ def main(argv=None) -> int:
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
     parser.add_argument(
-        "--interp", choices=["auto", "gather", "onehot"], default="auto",
+        "--interp", choices=["auto", "gather", "onehot", "pallas"], default="auto",
         help="bilinear sampling implementation",
     )
+    parser.add_argument(
+        "--metrics", action="store_true",
+        help="print per-frame JSON metrics and a session summary to stderr",
+    )
+    parser.add_argument("--save-state", help="checkpoint tracker state here at the end")
+    parser.add_argument("--resume", help="restore tracker state from a checkpoint")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -45,6 +51,8 @@ def main(argv=None) -> int:
 
     from ..dataset import tum_rgbd
     from ..models import tracker as tracker_mod
+    from ..utils import checkpoint as checkpoint_mod
+    from ..utils import metrics as metrics_mod
 
     intrinsics = tum_rgbd.INTRINSICS[args.camera_id]()
     try:
@@ -78,20 +86,41 @@ def main(argv=None) -> int:
         jnp.asarray(gray0),
     )
 
-    for assoc in associations[1:]:
+    if args.resume:
+        checkpoint_mod.load_tracker(args.resume, trk)
+
+    session = metrics_mod.SessionMetrics()
+    for idx, assoc in enumerate(associations[1:], start=1):
         depth, gray = tum_rgbd.read_images(assoc)
-        trk.track(
-            assoc.depth_timestamp,
-            jnp.asarray(depth),
-            assoc.color_timestamp,
-            jnp.asarray(gray),
-        )
+        switches_before = trk.keyframe_switches
+        with metrics_mod.Timer() as timer:
+            trk.track(
+                assoc.depth_timestamp,
+                jnp.asarray(depth),
+                assoc.color_timestamp,
+                jnp.asarray(gray),
+            )
         print(f"Optical_flow: {trk.last_flow}", file=sys.stderr)
         if trk.last_failed:
             print("Error at Cholesky decomposition of hessian", file=sys.stderr)
         timestamp, pose = trk.current_frame()
         print(tum_rgbd.Frame(timestamp=timestamp, pose=pose).to_string(), flush=True)
+        if args.metrics:
+            m = metrics_mod.FrameMetrics(
+                frame_index=idx,
+                timestamp=timestamp,
+                optical_flow=trk.last_flow,
+                keyframe_switched=trk.keyframe_switches > switches_before,
+                failed=trk.last_failed,
+                track_seconds=timer.seconds,
+            )
+            session.record(m)
+            print(m.to_json(), file=sys.stderr)
 
+    if args.metrics:
+        session.print_summary()
+    if args.save_state:
+        checkpoint_mod.save_tracker(args.save_state, trk)
     return 0
 
 

@@ -97,7 +97,8 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
     rows = jnp.where(row_idx == v0, 1.0 - b, 0.0) + jnp.where(row_idx == v0 + 1, b, 0.0)
     cols = jnp.where(col_idx == u0, 1.0 - a, 0.0) + jnp.where(col_idx == u0 + 1, a, 0.0)
-    interp_rows = jnp.dot(rows, img_ref[:], preferred_element_type=jnp.float32)
+    interp_rows = jnp.dot(rows, img_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     vals = jnp.sum(interp_rows * cols, axis=1, keepdims=True)  # (TILE, 1)
 
     maskf = inside.astype(jnp.float32)  # (TILE, 1)
@@ -112,7 +113,8 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
     lhs = jnp.where(col8 == 6, r, jnp.where(col8 == 7, maskf, jac * maskf))
     rhs = jnp.where(col8 == 6, r, jnp.where(col8 == 7, maskf, jac))
     m8 = jax.lax.dot_general(
-        lhs, rhs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        lhs, rhs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (8, 8)
 
     # widen (8, 8) -> (8, 128) with a one-hot selector matmul
@@ -120,7 +122,8 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
         jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     ).astype(jnp.float32)
-    out_ref[:] += jnp.dot(m8, sel, preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(m8, sel, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

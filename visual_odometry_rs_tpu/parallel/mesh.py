@@ -16,6 +16,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize multi-host JAX (DCN layer).
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host pods use
+    the same meshes/collectives as single-host: after initialization,
+    ``jax.devices()`` spans all hosts and ``make_mesh`` lays axes across ICI
+    within a slice and DCN across slices in XLA's default device order.
+    No-op if already initialized.
+    """
+    import jax as _jax
+
+    try:
+        _jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(
     axis_sizes: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = ("data",),
