@@ -90,8 +90,12 @@ def main(argv=None) -> int:
         checkpoint_mod.load_tracker(args.resume, trk)
 
     session = metrics_mod.SessionMetrics()
-    for idx, assoc in enumerate(associations[1:], start=1):
-        depth, gray = tum_rgbd.read_images(assoc)
+    # Native prefetch loader: PNG decode of upcoming frames overlaps the
+    # device-side tracking of the current one (dataset.frame_loader).
+    frames = tum_rgbd.frame_loader(associations[1:])
+    for idx, (assoc, (depth, gray)) in enumerate(
+        zip(associations[1:], frames), start=1
+    ):
         switches_before = trk.keyframe_switches
         with metrics_mod.Timer() as timer:
             trk.track(

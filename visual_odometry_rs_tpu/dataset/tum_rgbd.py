@@ -145,7 +145,15 @@ def load_associations(path: str) -> List[Association]:
 
 
 def read_png_16bits(path: str) -> np.ndarray:
-    """u16 depth PNG → (H, W) uint16 array (helper.rs:13-36)."""
+    """u16 depth PNG → (H, W) uint16 array (helper.rs:13-36).
+
+    Decodes through the native C++ loader (``native/vors_io.cpp``) when
+    available; the PIL fallback below is numerically identical.
+    """
+    from .. import native
+
+    if native.available():
+        return native.read_png_16bits(path)
     from PIL import Image
 
     img = Image.open(path)
@@ -162,8 +170,13 @@ def read_gray(path: str) -> np.ndarray:
     """Color/gray image → (H, W) uint8 luma (interop.rs + image::to_luma).
 
     Uses the same integer luma weights as the Rust ``image`` crate
-    (ITU-R BT.601: (299 R + 587 G + 114 B) / 1000).
+    (ITU-R BT.601: (299 R + 587 G + 114 B) / 1000).  Native C++ decode when
+    available, PIL fallback otherwise (identical numerics).
     """
+    from .. import native
+
+    if native.available() and path.lower().endswith(".png"):
+        return native.read_gray(path)
     from PIL import Image
 
     img = Image.open(path)
@@ -178,6 +191,45 @@ def read_gray(path: str) -> np.ndarray:
 def read_images(assoc: Association) -> Tuple[np.ndarray, np.ndarray]:
     """(depth u16, gray u8) for one association (vors_track.rs:140-145)."""
     return read_png_16bits(assoc.depth_file_path), read_gray(assoc.color_file_path)
+
+
+def frame_loader(
+    assocs: List[Association],
+    *,
+    num_threads: int = 4,
+    max_ahead: int = 8,
+):
+    """In-order iterator of (depth u16, gray u8) frames for a sequence.
+
+    Uses the native multi-threaded prefetch loader (``native/vors_io.cpp``)
+    when available so PNG decode overlaps tracking compute — the reference
+    decodes on the tracking thread (vors_track.rs:49-64).  Falls back to
+    sequential per-frame reads with identical output.
+    """
+    if not assocs:
+        return
+    from .. import native
+
+    use_native = native.available()
+    if use_native:
+        try:
+            h, w = native.png_dims(assocs[0].depth_file_path)
+            loader = native.PrefetchLoader(
+                [a.depth_file_path for a in assocs],
+                [a.color_file_path for a in assocs],
+                h,
+                w,
+                num_threads=num_threads,
+                max_ahead=max_ahead,
+            )
+        except (RuntimeError, IOError):
+            use_native = False
+    if use_native:
+        with loader:
+            yield from loader
+        return
+    for a in assocs:
+        yield read_images(a)
 
 
 def write_sequence(
@@ -196,7 +248,7 @@ def write_sequence(
     for i, ts in enumerate(timestamps):
         dpath = f"depth/{ts:.6f}.png"
         cpath = f"rgb/{ts:.6f}.png"
-        Image.fromarray(depths[i].astype(np.uint16), mode="I;16").save(
+        Image.fromarray(depths[i].astype(np.uint16)).save(
             os.path.join(directory, dpath)
         )
         Image.fromarray(grays[i].astype(np.uint8), mode="L").save(
