@@ -155,3 +155,87 @@ def test_keyframe_switch_select(seqs):
     )
     # unswitched element's keyframe pose remains identity
     np.testing.assert_allclose(np.asarray(new_state.keyframe_pose.t[0]), np.zeros(3), atol=1e-7)
+
+
+def test_track_sequence_scan_matches_stepwise(seqs):
+    """The lax.scan clip driver must equal repeated track_step calls."""
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    intrinsics = seqs[0].intrinsics
+    seq = seqs[0]
+    d = jnp.asarray(np.stack(seq.depths))
+    g = jnp.asarray(np.stack(seq.grays))
+
+    state0 = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    final, (poses, diags) = jax.jit(
+        lambda s, dd, gg: batch_mod.track_sequence(config, intrinsics, s, dd, gg)
+    )(state0, d[1:], g[1:])
+
+    s = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    for f in range(1, d.shape[0]):
+        s, dg = batch_mod.track_step(config, intrinsics, s, d[f], g[f])
+        # scan compiles the step body separately -> f32 reassociation slack
+        np.testing.assert_allclose(
+            np.asarray(poses.t[f - 1]), np.asarray(s.current_pose.t), atol=5e-5
+        )
+        np.testing.assert_allclose(float(diags.flow[f - 1]), float(dg.flow), rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(final.current_pose.t), np.asarray(s.current_pose.t), atol=5e-5
+    )
+
+
+def test_batched_track_sequence_sharded(seqs):
+    """Batched scan driver runs under a data-sharded mesh and matches vmap-of-scan."""
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    intrinsics = seqs[0].intrinsics
+    B = 8
+    d0, g0 = _batch_from(seqs, 0, B)
+    clips_d = jnp.stack([_batch_from(seqs, f, B)[0] for f in (1, 2)])  # (F, B, H, W)
+    clips_g = jnp.stack([_batch_from(seqs, f, B)[1] for f in (1, 2)])
+
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    state = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    state = mesh_mod.shard_batch(state, mesh)
+    clips_d = jax.device_put(
+        clips_d,
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")),
+    )
+    clips_g = jax.device_put(
+        clips_g,
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data")),
+    )
+    final, (poses, diags) = jax.jit(
+        lambda s, dd, gg: batch_mod.batched_track_sequence(config, intrinsics, s, dd, gg)
+    )(state, clips_d, clips_g)
+    assert poses.t.shape == (2, B, 3)
+    # same-input batch entries agree
+    np.testing.assert_allclose(
+        np.asarray(final.current_pose.t[0]), np.asarray(final.current_pose.t[2]), atol=1e-6
+    )
+
+
+def test_track_sequence_switch_branch(seqs):
+    """Force a keyframe switch inside the scan: cond branch must match step."""
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256, flow_threshold=0.0
+    )  # threshold 0 -> switch every frame: the recompute branch always taken
+    intrinsics = seqs[0].intrinsics
+    seq = seqs[0]
+    d = jnp.asarray(np.stack(seq.depths))
+    g = jnp.asarray(np.stack(seq.grays))
+
+    state0 = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    final, (poses, diags) = jax.jit(
+        lambda s, dd, gg: batch_mod.track_sequence(config, intrinsics, s, dd, gg)
+    )(state0, d[1:], g[1:])
+    assert bool(diags.switched.all())
+
+    s = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    for f in range(1, d.shape[0]):
+        s, dg = batch_mod.track_step(config, intrinsics, s, d[f], g[f])
+        assert bool(dg.switched)
+        # after a switch the keyframe pose itself carries f32 reassociation
+        # jitter, and the LM stop criterion is discrete -> the two compiled
+        # programs may take different iteration counts; compare loosely
+        np.testing.assert_allclose(
+            np.asarray(poses.t[f - 1]), np.asarray(s.current_pose.t), atol=2e-3
+        )

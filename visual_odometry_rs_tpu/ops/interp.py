@@ -76,16 +76,75 @@ def bilinear_gather(
 def bilinear_onehot(
     img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bilinear sample via weighted one-hot matmuls (MXU path).
+    """Bilinear sample via one-hot matmuls (MXU path).
 
-    For each point n: ``rows[n] = (1-b) e_{v0} + b e_{v1}`` (N, H) and
-    ``cols[n] = (1-a) e_{u0} + a e_{u1}`` (N, W).  Then
-    ``out[n] = rows[n] @ img @ cols[n]`` — computed as one (N,H)x(H,W) matmul
-    followed by a row-wise weighted reduction.  Exact same arithmetic as
-    ``bilinear_gather`` up to f32 summation order.
+    Row gather as an **exact bf16 matmul**: the selector matrix holds pure
+    0/1 one-hots for rows v0 and v1 stacked into (2N, H), the image is u8
+    (0..255 — exactly representable in bf16, as are 0/1), and each output
+    element accumulates exactly one nonzero product into the f32 accumulator
+    — so a default-precision bf16 MXU pass gathers rows *bit-exactly*,
+    without the 3-6x cost of ``Precision.HIGHEST``.  The fractional bilinear
+    weights (a, b) are then applied in f32 on the VPU:
+    ``val = Σ_w cols[n,w] · ((1-b) g0 + b g1)[n,w]`` with ``cols`` the
+    (1-a)/a-weighted column one-hots.
 
-    Cost: N*H*W MACs on the MXU.  For pyramid levels this beats scalar
-    gathers on TPU; use ``bilinear_gather`` on CPU.
+    Cost: 2·N·H·W bf16 MACs on the MXU + O(N·W) VPU flops.  For pyramid
+    levels this beats scalar gathers on TPU; use ``bilinear_gather`` on CPU.
+    """
+    height, width = img.shape[-2:]
+    n = x.shape[-1]
+    u = jnp.floor(x)
+    v = jnp.floor(y)
+    mask = (u >= 0.0) & (u < width - 2) & (v >= 0.0) & (v < height - 2)
+
+    u0 = jnp.clip(u.astype(jnp.int32), 0, width - 2)
+    v0 = jnp.clip(v.astype(jnp.int32), 0, height - 2)
+    a = (x - u).astype(Float)
+    b = (y - v).astype(Float)
+
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (n, height), 1)
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    v0c = v0[..., None]
+    u0c = u0[..., None]
+    # (2N, H) exact 0/1 selectors: first N rows pick v0, last N pick v0+1.
+    sel01 = jnp.concatenate([(rows_idx == v0c), (rows_idx == v0c + 1)], axis=0)
+    if jnp.issubdtype(img.dtype, jnp.integer) or img.dtype == jnp.bfloat16:
+        # u8/int pixels and 0/1 selectors are exact in bf16, and each output
+        # element sums exactly one nonzero product -> default-precision bf16
+        # MXU pass is bit-exact.
+        gathered = jnp.dot(
+            sel01.astype(jnp.bfloat16),
+            img.astype(jnp.bfloat16),
+            preferred_element_type=Float,
+        )  # (2N, W)
+    else:
+        # float images: keep full f32 through the MXU
+        gathered = jnp.dot(
+            sel01.astype(Float),
+            img.astype(Float),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    g0 = gathered[:n]
+    g1 = gathered[n:]
+    interp_rows = (1.0 - b)[..., None] * g0 + b[..., None] * g1  # (N, W) f32
+    cols = jnp.where(cols_idx == u0c, (1.0 - a)[..., None], 0.0) + jnp.where(
+        cols_idx == u0c + 1, a[..., None], 0.0
+    )
+    val = jnp.sum(interp_rows * cols, axis=-1)
+    return jnp.where(mask, val, 0.0), mask
+
+
+def bilinear_onehot_weighted(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single weighted one-hot matmul variant (f32, ``Precision.HIGHEST``).
+
+    ``rows[n] = (1-b) e_{v0} + b e_{v1}`` carries the vertical weights inside
+    the selector, so one (N,H)x(H,W) matmul interpolates rows.  XLA's
+    algebraic simplifier can recognize the dot-of-one-hot pattern and lower
+    it as a gather, which makes this variant the fastest in some fusion
+    contexts — kept alongside ``bilinear_onehot`` so callers can pick per
+    workload (both are within f32 rounding of ``bilinear_gather``).
     """
     height, width = img.shape[-2:]
     u = jnp.floor(x)
@@ -107,7 +166,6 @@ def bilinear_onehot(
     cols = jnp.where(cols_idx == u0c, (1.0 - a)[..., None], 0.0) + jnp.where(
         cols_idx == u0c + 1, a[..., None], 0.0
     )
-
     interp_rows = jnp.dot(
         rows, img.astype(Float), precision=jax.lax.Precision.HIGHEST
     )  # (N, W)
@@ -129,4 +187,6 @@ def bilinear(
         return bilinear_gather(img, x, y)
     if method == "onehot":
         return bilinear_onehot(img, x, y)
+    if method == "onehot_weighted":
+        return bilinear_onehot_weighted(img, x, y)
     raise ValueError(f"unknown interpolation method: {method}")

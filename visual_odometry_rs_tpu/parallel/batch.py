@@ -116,6 +116,129 @@ def batched_track_step(
     )(state, depths, imgs)
 
 
+def _lazy_switch_step(
+    config: TrackerConfig,
+    intrinsics: Intrinsics,
+    state: TrackState,
+    depth: jnp.ndarray,
+    img: jnp.ndarray,
+    batched: bool,
+):
+    """One scan-body step with the keyframe precompute behind a real branch.
+
+    ``track_step`` pays the keyframe precompute every frame because under
+    ``vmap`` a data-dependent switch must be a select.  Inside a ``lax.scan``
+    the step is NOT under vmap (the batch lives in the array leading axes),
+    so the switch can be a genuine ``lax.cond`` on "did ANY sequence
+    switch?" — XLA executes the precompute branch only on frames where at
+    least one sequence actually switches keyframe (rare: flow >= 1 px at the
+    coarsest level), which is what the reference's host loop does too
+    (inverse_compositional.rs:224-239).  Per-sequence selects inside the
+    taken branch keep the numerics identical to ``track_step``.
+    """
+    vm = (lambda f: jax.vmap(f)) if batched else (lambda f: f)
+
+    init_model = vm(
+        lambda cp, kp: pose_mod.compose(pose_mod.inverse(cp), kp)
+    )(state.current_pose, state.keyframe_pose)
+    pyrs = vm(lambda i: pyramid_ops.mean_pyramid(config.nb_levels, i))(img)
+    result = vm(
+        lambda kf, *args: tracker_mod.track_frame(
+            config, kf, list(args[:-1]), args[-1]
+        )
+    )(state.kf, *pyrs, init_model)
+
+    def bcast(flag, like):
+        return flag.reshape(flag.shape + (1,) * (like.ndim - flag.ndim))
+
+    proposed = vm(
+        lambda kp, m: pose_mod.compose(kp, pose_mod.inverse(m))
+    )(state.keyframe_pose, result.model)
+    new_current = jax.tree_util.tree_map(
+        lambda ok, old: jnp.where(bcast(result.failed, ok), old, ok),
+        proposed,
+        state.current_pose,
+    )
+
+    switch = result.flow >= config.flow_threshold
+
+    def recompute(kf_old, kf_pose_old):
+        new_kf = vm(
+            lambda d1, *p: tracker_mod.precompute_keyframe(
+                config, intrinsics, d1, list(p)
+            )
+        )(depth, *pyrs)
+        kf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(switch, new), new, old), new_kf, kf_old
+        )
+        kfp = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(switch, new), new, old),
+            new_current,
+            kf_pose_old,
+        )
+        return kf, kfp
+
+    def keep(kf_old, kf_pose_old):
+        return kf_old, kf_pose_old
+
+    kf, keyframe_pose = jax.lax.cond(
+        jnp.any(switch), recompute, keep, state.kf, state.keyframe_pose
+    )
+    new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
+    return new_state, StepDiagnostics(flow=result.flow, failed=result.failed, switched=switch)
+
+
+def track_sequence(
+    config: TrackerConfig,
+    intrinsics: Intrinsics,
+    state: TrackState,
+    depths: jnp.ndarray,
+    imgs: jnp.ndarray,
+):
+    """Track a whole clip of F frames with one ``lax.scan``.
+
+    The reference's frame loop lives on the host (vors_track.rs:49-64); here
+    it compiles into the XLA program, so an entire sequence is ONE device
+    dispatch — per-frame launch/transfer latency (the dominant cost of the
+    latency-bound single-stream path) is paid once per clip instead of once
+    per frame, and the keyframe precompute runs only on frames that actually
+    switch (``_lazy_switch_step``).  ``depths``/``imgs`` are (F, H, W);
+    returns the final state plus per-frame poses and diagnostics stacked on
+    the leading axis.
+    """
+
+    def body(s, frame):
+        d, i = frame
+        s2, diag = _lazy_switch_step(config, intrinsics, s, d, i, batched=False)
+        return s2, (s2.current_pose, diag)
+
+    return jax.lax.scan(body, state, (depths, imgs))
+
+
+def batched_track_sequence(
+    config: TrackerConfig,
+    intrinsics: Intrinsics,
+    state: TrackState,
+    depths: jnp.ndarray,
+    imgs: jnp.ndarray,
+):
+    """``lax.scan`` over frames of the vmapped step: clips are (F, B, H, W).
+
+    The scan carries the batched ``TrackState``; sharding the B axis over a
+    ``data`` mesh turns this into the one-dispatch-per-clip SPMD serving
+    loop.  The keyframe precompute runs under a scan-level ``lax.cond``
+    (only on frames where some sequence switches), unlike
+    ``batched_track_step`` which must pay it every frame.
+    """
+
+    def body(s, frame):
+        d, i = frame
+        s2, diag = _lazy_switch_step(config, intrinsics, s, d, i, batched=True)
+        return s2, (s2.current_pose, diag)
+
+    return jax.lax.scan(body, state, (depths, imgs))
+
+
 def make_sharded_step(config: TrackerConfig, intrinsics: Intrinsics, mesh, axis="data"):
     """jit the batched step with batch-dim shardings over ``mesh``.
 
