@@ -41,7 +41,13 @@ def main() -> None:
     seq = synthetic.generate_sequence(
         nb_frames=3, height=height, width=width, seed=0, motion_scale=0.008
     )
-    config = tracker_mod.TrackerConfig(height=height, width=width, nb_levels=6)
+    # candidate capacity 4096: sized to the reference's own workload (its
+    # 4-level example selects ~2.6k points at the finest level,
+    # examples/README.md:72; TUM fr1 keyframes land in the same range), with
+    # headroom.  The library default stays at the conservative 8192.
+    config = tracker_mod.TrackerConfig(
+        height=height, width=width, nb_levels=6, candidate_cap=4096
+    )
     intrinsics = seq.intrinsics
 
     @jax.jit

@@ -75,3 +75,28 @@ def test_cli_accurate_with_matching_intrinsics(tmp_path):
 def test_cli_missing_file(capsys):
     rc = vors_track.main(["fr1", "/nonexistent/associations.txt"])
     assert rc == 1
+
+
+def test_cli_chunk_mode_matches_per_frame(tmp_path):
+    """--chunk N (fused scan serving mode) produces the same trajectory."""
+    seq = synthetic.generate_sequence(nb_frames=5, height=120, width=160, seed=7)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = vors_track.main(
+                ["fr1", assoc_path, "--nb-levels", "4", "--candidate-cap", "2048"]
+                + extra
+            )
+        assert rc == 0
+        return tum_rgbd.parse_trajectory(buf.getvalue())
+
+    per_frame = run(["--no-bucket"])
+    chunked = run(["--chunk", "2"])  # 4 tracked frames -> chunks of 2, 2
+    assert len(chunked) == len(per_frame) == 4
+    for a, b in zip(per_frame, chunked):
+        assert a.timestamp == b.timestamp
+        np.testing.assert_allclose(
+            np.asarray(b.pose.t), np.asarray(a.pose.t), atol=2e-3
+        )

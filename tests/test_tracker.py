@@ -112,3 +112,22 @@ def test_interp_methods_agree(seq):
     for p1, p2 in zip(e1, e2):
         np.testing.assert_allclose(np.asarray(p1.t), np.asarray(p2.t), atol=1e-4)
         np.testing.assert_allclose(np.asarray(p1.q), np.asarray(p2.q), atol=1e-4)
+
+
+def test_bucketed_tracker_matches_unbucketed(seq):
+    """Candidate-cap bucketing (host Tracker fast path) preserves tracking."""
+    trk_ref = make_tracker(seq)
+    trk_bkt = make_tracker(seq, bucket_candidates=True, min_bucket=64)
+    # buckets must actually shrink the arrays
+    caps_ref = [L.valid.shape[0] for L in trk_ref.keyframe_data.levels]
+    caps_bkt = [L.valid.shape[0] for L in trk_bkt.keyframe_data.levels]
+    assert any(b < r for b, r in zip(caps_bkt, caps_ref)), (caps_bkt, caps_ref)
+    # every valid candidate survives the slice
+    for Lr, Lb in zip(trk_ref.keyframe_data.levels, trk_bkt.keyframe_data.levels):
+        assert int(Lr.valid.sum()) == int(Lb.valid.sum())
+
+    est_ref = run_tracking(seq, trk_ref)
+    est_bkt = run_tracking(seq, trk_bkt)
+    for pr, pb in zip(est_ref, est_bkt):
+        # identical up to f32 reduction-order jitter
+        np.testing.assert_allclose(np.asarray(pb.t), np.asarray(pr.t), atol=2e-4)

@@ -38,6 +38,17 @@ def main(argv=None) -> int:
         "--metrics", action="store_true",
         help="print per-frame JSON metrics and a session summary to stderr",
     )
+    parser.add_argument(
+        "--no-bucket", action="store_true",
+        help="disable host-side candidate-cap bucketing (exact worst-case shapes)",
+    )
+    parser.add_argument(
+        "--chunk", type=int, default=0, metavar="N",
+        help="fused serving mode: track N frames per device dispatch with the "
+        "lax.scan clip driver (keyframe switching in-graph); trajectory lines "
+        "print once per chunk instead of per frame — the mode for remote/"
+        "high-latency TPU transports",
+    )
     parser.add_argument("--save-state", help="checkpoint tracker state here at the end")
     parser.add_argument("--resume", help="restore tracker state from a checkpoint")
     args = parser.parse_args(argv)
@@ -76,7 +87,11 @@ def main(argv=None) -> int:
         idepth_variance=1e-4,
         candidate_cap=args.candidate_cap,
         interp_method=args.interp,
+        bucket_candidates=not args.no_bucket,
     )
+    if args.chunk > 0:
+        return _run_chunked(args, config, intrinsics, associations, depth0, gray0)
+
     trk = tracker_mod.init_tracker(
         config,
         intrinsics,
@@ -125,6 +140,70 @@ def main(argv=None) -> int:
         session.print_summary()
     if args.save_state:
         checkpoint_mod.save_tracker(args.save_state, trk)
+    return 0
+
+
+def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
+    """Fused serving loop: ``lax.scan`` clips of ``args.chunk`` frames.
+
+    Tracker state (keyframe data + poses) stays device-resident between
+    dispatches; keyframe switching runs in-graph behind a scan-level
+    ``lax.cond`` (parallel.batch.track_sequence).  The host only stacks
+    decoded frames and fetches the per-clip pose/diagnostic arrays — one
+    round trip per chunk, which is what makes this the fast mode over
+    remote/high-latency device transports.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dataset import tum_rgbd
+    from ..math.pose import Pose
+    from ..parallel import batch as batch_mod
+
+    state = jax.jit(
+        lambda d, g: batch_mod.init_state(config, intrinsics, d, g)
+    )(jnp.asarray(depth0), jnp.asarray(gray0))
+
+    @jax.jit
+    def run_clip(s, dd, gg):
+        return batch_mod.track_sequence(config, intrinsics, s, dd, gg)
+
+    buf_d, buf_g, buf_assoc = [], [], []
+
+    def flush(state):
+        if not buf_d:
+            return state
+        dd = jnp.asarray(np.stack(buf_d))
+        gg = jnp.asarray(np.stack(buf_g))
+        state, (poses, diags) = run_clip(state, dd, gg)
+        q = np.asarray(poses.q)
+        t = np.asarray(poses.t)
+        flows = np.asarray(diags.flow)
+        fails = np.asarray(diags.failed)
+        for i, a in enumerate(buf_assoc):
+            print(f"Optical_flow: {flows[i]}", file=sys.stderr)
+            if fails[i]:
+                print("Error at Cholesky decomposition of hessian", file=sys.stderr)
+            line = tum_rgbd.Frame(
+                timestamp=a.depth_timestamp, pose=Pose(q=q[i], t=t[i])
+            ).to_string()
+            print(line)
+        sys.stdout.flush()
+        buf_d.clear()
+        buf_g.clear()
+        buf_assoc.clear()
+        return state
+
+    for assoc, (depth, gray) in zip(
+        associations[1:], tum_rgbd.frame_loader(associations[1:])
+    ):
+        buf_d.append(depth)
+        buf_g.append(gray)
+        buf_assoc.append(assoc)
+        if len(buf_d) == args.chunk:
+            state = flush(state)
+    flush(state)
     return 0
 
 

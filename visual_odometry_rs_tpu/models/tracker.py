@@ -74,6 +74,15 @@ class TrackerConfig:
     candidate_cap: int = 8192
     # bilinear sampling: "auto" (MXU one-hot on TPU, gather elsewhere), "gather", "onehot"
     interp_method: str = "auto"
+    # host-side Tracker only: slice each keyframe level down to the smallest
+    # power-of-two bucket >= its actual candidate count (valid candidates are
+    # contiguous at the front after the top_k compaction), so per-frame LM
+    # cost scales with the real point count instead of the worst-case cap.
+    # One jit specialization per bucket combination (cached).  Off by
+    # default: bucketing changes reduction shapes, so results can differ by
+    # f32 rounding from the unbucketed path.
+    bucket_candidates: bool = False
+    min_bucket: int = 256
 
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
@@ -396,12 +405,29 @@ class Tracker:
         self._precompute = jax.jit(
             lambda depth, pyr: precompute_keyframe(config, intrinsics, depth, pyr)
         )
-        self._track = jax.jit(
-            lambda kf, pyr, model: track_frame(config, kf, pyr, model)
+        # One fused jit per frame: pyramid + 6-level LM + pose bookkeeping.
+        # Everything stays on-device; the only host sync per frame is the
+        # single (2,) diagnostics fetch in ``track`` (critical over remote
+        # TPU transports, where every un-jitted op is a round trip).
+        def _step(kf, img, kf_pose, cur_pose):
+            pyr = pyramid_ops.mean_pyramid(config.nb_levels, img)
+            init_model = pose_mod.compose(pose_mod.inverse(cur_pose), kf_pose)
+            result = track_frame(config, kf, pyr, init_model)
+            proposed = pose_mod.compose(kf_pose, pose_mod.inverse(result.model))
+            new_current = jax.tree_util.tree_map(
+                lambda ok, old: jnp.where(result.failed, old, ok), proposed, cur_pose
+            )
+            diag = jnp.stack([result.flow, result.failed.astype(Float)])
+            return new_current, diag, pyr
+
+        self._step = jax.jit(_step)
+        self._counts = jax.jit(
+            lambda kf: jnp.stack([jnp.sum(L.valid) for L in kf.levels])
         )
+        self._slice_cache = {}
 
         pyr = self._pyramid(img)
-        self.keyframe_data = self._precompute(depth_map, pyr)
+        self.keyframe_data = self._maybe_bucket(self._precompute(depth_map, pyr))
         self.keyframe_pose = pose_mod.identity()
         self.keyframe_depth_timestamp = depth_timestamp
         self.keyframe_img_timestamp = img_timestamp
@@ -421,28 +447,70 @@ class Tracker:
         img: jnp.ndarray,
     ) -> None:
         """Track one frame (inverse_compositional.rs:170-240)."""
-        init_model = pose_mod.compose(
-            pose_mod.inverse(self.current_pose), self.keyframe_pose
-        )
-        pyr = self._pyramid(img)
-        result = self._track(self.keyframe_data, pyr, init_model)
+        import numpy as np
 
-        failed = bool(result.failed)
+        new_current, diag, pyr = self._step(
+            self.keyframe_data, img, self.keyframe_pose, self.current_pose
+        )
+        diag_host = np.asarray(diag)  # the one device→host sync per frame
+
         self.current_depth_timestamp = depth_timestamp
         self.current_img_timestamp = img_timestamp
-        if not failed:
-            self.current_pose = pose_mod.compose(
-                self.keyframe_pose, pose_mod.inverse(result.model)
-            )
-        self.last_failed = failed
-        self.last_flow = float(result.flow)
+        self.current_pose = new_current
+        self.last_failed = bool(diag_host[1])
+        self.last_flow = float(diag_host[0])
 
         if self.last_flow >= self.config.flow_threshold:
-            self.keyframe_data = self._precompute(depth_map, pyr)
+            self.keyframe_data = self._maybe_bucket(self._precompute(depth_map, pyr))
             self.keyframe_depth_timestamp = depth_timestamp
             self.keyframe_img_timestamp = img_timestamp
             self.keyframe_pose = self.current_pose
             self.keyframe_switches += 1
+
+    def _maybe_bucket(self, kf: KeyframeData) -> KeyframeData:
+        """Slice keyframe candidate arrays to power-of-two buckets.
+
+        ``_extract_candidates`` compacts valid candidates to the front, so a
+        front slice keeps every real point.  This is a host-side decision
+        (one device→host count sync per keyframe switch); ``track_frame``
+        re-specializes per bucket combination, and jit caching makes repeat
+        buckets free.  Results match the unbucketed path up to f32 reduction
+        order (padding lanes contribute exact zeros either way).
+        """
+        if not self.config.bucket_candidates:
+            return kf
+        import numpy as np
+
+        counts = np.asarray(self._counts(kf))  # one sync for all levels
+        buckets = []
+        for obs, count in zip(kf.levels, counts):
+            count = int(count)
+            cap = obs.valid.shape[0]
+            bucket = max(self.config.min_bucket, 1 << (max(count, 1) - 1).bit_length())
+            buckets.append(min(bucket, cap))
+        buckets = tuple(buckets)
+        if buckets not in self._slice_cache:
+
+            def slice_kf(kf):
+                levels = []
+                for obs, b in zip(kf.levels, buckets):
+                    levels.append(
+                        LevelObs(
+                            intrinsics=obs.intrinsics,
+                            template=obs.template,
+                            xs=obs.xs[:b],
+                            ys=obs.ys[:b],
+                            idepth=obs.idepth[:b],
+                            valid=obs.valid[:b],
+                            tmpl_vals=obs.tmpl_vals[:b],
+                            jacobians=obs.jacobians[:b],
+                        )
+                    )
+                return KeyframeData(levels=tuple(levels))
+
+            # one dispatch per switch instead of one per sliced array
+            self._slice_cache[buckets] = jax.jit(slice_kf)
+        return self._slice_cache[buckets](kf)
 
     def current_frame(self) -> Tuple[float, Pose]:
         """(depth timestamp, pose) of the last tracked frame
