@@ -252,19 +252,39 @@ def solve(problem: BAProblem, *, max_iterations: int = 15) -> BAResult:
 
 
 def solve_point_sharded(
-    problem: BAProblem, mesh, axis: str = "points", *, max_iterations: int = 15
+    problem: BAProblem,
+    mesh,
+    axis: str = "points",
+    *,
+    max_iterations: int = 15,
+    assembly: str = "psum",
 ) -> BAResult:
     """BA with the landmark dimension sharded over ``mesh[axis]``.
 
     Each shard owns P/n points and the observations that reference them
     (observations must be pre-partitioned by point: ``obs_pt`` local indices).
-    The reduced camera system is assembled with one psum per iteration;
-    point back-substitution is fully local.  Output poses are replicated,
-    points are returned sharded.
+    The reduced camera system is assembled once per iteration; point
+    back-substitution is fully local.  Output poses are replicated, points
+    are returned sharded.
+
+    ``assembly`` selects the collective for the camera-system reduction:
+
+    - ``"psum"``: XLA all-reduce of the full (K,6,K,6) fill-in — right for
+      short windows.
+    - ``"ring"``: ring reduce-scatter over keyframe block-rows followed by a
+      ring all-gather (``parallel.collectives``) — the ring-attention-style
+      pass over keyframe shards (SURVEY §5): partial sums travel the device
+      ring over ICI and each chip only ever accumulates K/n block-rows.
+      Requires K divisible by the mesh axis size.
     """
     from jax.sharding import PartitionSpec as P_
 
     K = problem.poses.q.shape[0]
+    n_dev = mesh.shape[axis]
+    if assembly == "ring" and K % n_dev != 0:
+        raise ValueError(f"ring assembly needs K ({K}) divisible by mesh axis ({n_dev})")
+    if assembly not in ("psum", "ring"):
+        raise ValueError(f"unknown assembly: {assembly}")
 
     def sharded(problem_local: BAProblem) -> BAResult:
         P_local = problem_local.points.shape[0]
@@ -280,7 +300,17 @@ def solve_point_sharded(
             # assemble the replicated camera system
             C_inv = _point_inverse(n, lm)
             S_fill, rhs_fill = _schur_fill(n, C_inv)
-            B, v, S_fill, rhs_fill = jax.lax.psum((n.B, n.v, S_fill, rhs_fill), axis)
+            if assembly == "ring":
+                from . import collectives
+
+                B, v, S_fill, rhs_fill = (
+                    collectives.ring_all_reduce(t, axis, n_dev)
+                    for t in (n.B, n.v, S_fill, rhs_fill)
+                )
+            else:
+                B, v, S_fill, rhs_fill = jax.lax.psum(
+                    (n.B, n.v, S_fill, rhs_fill), axis
+                )
             S_full, rhs_full = _assemble_camera_system(B, v, S_fill, rhs_fill, lm, K)
             d_cam = _solve_cameras(S_full, rhs_full, K)  # replicated solve
             Ft_dc = jnp.einsum("pkab,ka->pb", n.F, d_cam)
@@ -307,13 +337,27 @@ def solve_point_sharded(
             return poses, points, energy, lm, it + 1, done
 
         energy0 = energy_of(problem_local.poses, problem_local.points)
+        carry0 = (
+            problem_local.poses, problem_local.points, energy0,
+            jnp.asarray(1e-4, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
+        if assembly == "ring":
+            # ring results are axis-varying under shard_map's manual-axes
+            # tracking (ppermute chains can't be proven replicated); the
+            # replicated carry leaves must start varying too (points, the
+            # sharded leaf, already is)
+            poses0, points0, energy0_, lm0, it0, done0 = carry0
+            vary = lambda x: jax.lax.pcast(x, (axis,), to="varying")
+            carry0 = (
+                jax.tree_util.tree_map(vary, poses0),
+                points0,
+                vary(energy0_),
+                vary(lm0),
+                vary(it0),
+                vary(done0),
+            )
         poses, points, energy, _, it, _ = jax.lax.while_loop(
-            lambda c: ~c[-1],
-            body,
-            (
-                problem_local.poses, problem_local.points, energy0,
-                jnp.asarray(1e-4, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
-            ),
+            lambda c: ~c[-1], body, carry0
         )
         return BAResult(poses=poses, points=points, energy=energy, nb_iter=it)
 
@@ -329,5 +373,14 @@ def solve_point_sharded(
     out_spec = BAResult(
         poses=Pose(q=P_(), t=P_()), points=P_(axis, None), energy=P_(), nb_iter=P_()
     )
-    fn = jax.shard_map(sharded, mesh=mesh, in_specs=(spec,), out_specs=out_spec)
+    # ring mode: outputs are mathematically replicated (every chip runs the
+    # same camera solve on the same all-gathered system) but shard_map's
+    # static varying-axes analysis can't prove it through ppermute chains
+    fn = jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=out_spec,
+        check_vma=(assembly != "ring"),
+    )
     return fn(problem)
