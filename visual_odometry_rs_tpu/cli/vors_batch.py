@@ -1,0 +1,174 @@
+"""CLI: track MANY TUM RGB-D sequences at once on one chip / a device mesh.
+
+The green-field product surface of the scaling layer (SURVEY §2.3 — the
+reference is strictly one-sequence-per-process, vors_track.rs:49):
+
+    python -m visual_odometry_rs_tpu.cli.vors_batch fr1 \\
+        seqA/associations.txt seqB/associations.txt --out-dir trajs/
+
+All sequences are tracked together: frames are batched on the leading axis,
+the per-frame step is ``vmap``-ed, clips of ``--chunk`` frames are fused into
+one device dispatch with ``lax.scan`` (keyframe switching in-graph), and when
+the batch divides the local device count the batch axis is sharded over a
+``data`` mesh so the same program runs SPMD across chips.  Decode runs on the
+native prefetch loaders, one per sequence, overlapping device compute.
+
+Each input gets its own TUM-format trajectory file in ``--out-dir`` (named
+after the association file's parent directory, falling back to its stem).
+Sequences may have different lengths: finished sequences keep receiving
+their final frame (flow ~0, state unchanged) and simply stop emitting lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+USAGE = "Usage: vors_batch [fr1|fr2|fr3|icl] associations_file... --out-dir DIR"
+
+
+def _out_name(assoc_path: str) -> str:
+    parent = os.path.basename(os.path.dirname(os.path.abspath(assoc_path)))
+    if parent and parent not in (".", os.sep):
+        return parent + ".txt"
+    stem = os.path.splitext(os.path.basename(assoc_path))[0]
+    return stem + ".txt"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(usage=USAGE)
+    parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
+    parser.add_argument("associations_files", nargs="+")
+    parser.add_argument("--out-dir", required=True)
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--nb-levels", type=int, default=6)
+    parser.add_argument("--diff-threshold", type=int, default=7)
+    parser.add_argument("--candidate-cap", type=int, default=8192)
+    parser.add_argument("--chunk", type=int, default=8, metavar="N",
+                        help="frames per fused device dispatch")
+    parser.add_argument(
+        "--interp", choices=["auto", "gather", "onehot", "onehot_weighted", "pallas"],
+        default="auto",
+    )
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dataset import tum_rgbd
+    from ..math.pose import Pose
+    from ..models import tracker as tracker_mod
+    from ..parallel import batch as batch_mod
+    from ..parallel import mesh as mesh_mod
+
+    try:
+        all_assocs = [tum_rgbd.load_associations(p) for p in args.associations_files]
+    except OSError as e:
+        print(USAGE, file=sys.stderr)
+        print(f"Cannot read associations: {e}", file=sys.stderr)
+        return 1
+    if any(not a for a in all_assocs):
+        print("Empty associations file", file=sys.stderr)
+        return 1
+
+    B = len(all_assocs)
+    intrinsics = tum_rgbd.INTRINSICS[args.camera_id]()
+
+    first = [tum_rgbd.read_images(a[0]) for a in all_assocs]
+    shapes = {g.shape for _, g in first}
+    if len(shapes) != 1:
+        print(f"All sequences must share one image shape, got {shapes}", file=sys.stderr)
+        return 1
+    h, w = next(iter(shapes))
+
+    config = tracker_mod.TrackerConfig(
+        height=h,
+        width=w,
+        nb_levels=args.nb_levels,
+        candidates_diff_threshold=args.diff_threshold,
+        depth_scale=tum_rgbd.DEPTH_SCALE,
+        idepth_variance=1e-4,
+        candidate_cap=args.candidate_cap,
+        interp_method=args.interp,
+    )
+
+    # batch axis over the data mesh when it divides the device count
+    n_dev = jax.local_device_count()
+    mesh = None
+    if B % n_dev == 0 and n_dev > 1:
+        mesh = mesh_mod.make_mesh((n_dev,), ("data",))
+        print(f"sharding batch of {B} over {n_dev} devices", file=sys.stderr)
+
+    d0 = jnp.asarray(np.stack([d for d, _ in first]))
+    g0 = jnp.asarray(np.stack([g for _, g in first]))
+    state = jax.jit(
+        lambda d, g: batch_mod.batched_init_state(config, intrinsics, d, g)
+    )(d0, g0)
+    if mesh is not None:
+        state = mesh_mod.shard_batch(state, mesh)
+
+    @jax.jit
+    def run_clip(s, dd, gg):
+        return batch_mod.batched_track_sequence(config, intrinsics, s, dd, gg)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    outs = [
+        open(os.path.join(args.out_dir, _out_name(p)), "w")
+        for p in args.associations_files
+    ]
+
+    loaders = [iter(tum_rgbd.frame_loader(a[1:])) for a in all_assocs]
+    lengths = [len(a) - 1 for a in all_assocs]
+    max_len = max(lengths)
+    last = [first[i] for i in range(B)]  # (depth, gray) to repeat when done
+
+    frame_idx = 0
+    while frame_idx < max_len:
+        n = min(args.chunk, max_len - frame_idx)
+        clip_d = np.empty((n, B, h, w), np.uint16)
+        clip_g = np.empty((n, B, h, w), np.uint8)
+        for f in range(n):
+            for b in range(B):
+                if frame_idx + f < lengths[b]:
+                    last[b] = next(loaders[b])
+                clip_d[f, b], clip_g[f, b] = last[b]
+        dd = jnp.asarray(clip_d)
+        gg = jnp.asarray(clip_g)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, "data"))
+            dd = jax.device_put(dd, sh)
+            gg = jax.device_put(gg, sh)
+        state, (poses, diags) = run_clip(state, dd, gg)
+        q = np.asarray(poses.q)
+        t = np.asarray(poses.t)
+        flows = np.asarray(diags.flow)
+        for f in range(n):
+            for b in range(B):
+                fi = frame_idx + f
+                if fi >= lengths[b]:
+                    continue
+                a = all_assocs[b][fi + 1]
+                print(f"[{b}] Optical_flow: {flows[f, b]}", file=sys.stderr)
+                line = tum_rgbd.Frame(
+                    timestamp=a.depth_timestamp, pose=Pose(q=q[f, b], t=t[f, b])
+                ).to_string()
+                outs[b].write(line + "\n")
+        frame_idx += n
+
+    for fh in outs:
+        fh.close()
+    print(f"wrote {B} trajectories to {args.out_dir}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
