@@ -171,3 +171,24 @@ def test_pose_graph_exact_chain_stays_put():
     result = pose_graph.solve(graph)
     assert float(result.energy) < 1e-8
     np.testing.assert_allclose(np.asarray(result.nodes.t), np.asarray(nodes.t), atol=1e-5)
+
+
+def test_ba_long_window_ring_assembly():
+    """Longer keyframe window (K=16, P=256) through the ring-assembled
+    point-sharded solver: converges to ground truth on the 8-device mesh."""
+    problem, gt_poses, _ = make_problem(K=16, P=256, seed=5, perturb=0.01)
+    mesh = mesh_mod.make_mesh((8,), ("points",))
+    order = jnp.argsort(problem.obs_pt, stable=True)
+    shard_sz = problem.points.shape[0] // 8
+    problem_sharded = problem._replace(
+        obs_kf=problem.obs_kf[order],
+        obs_pt=problem.obs_pt[order] % shard_sz,
+        obs_uv=problem.obs_uv[order],
+        obs_mask=problem.obs_mask[order],
+    )
+    result = ba.solve_point_sharded(
+        problem_sharded, mesh, assembly="ring", max_iterations=20
+    )
+    assert float(result.energy) < 1e-4, float(result.energy)
+    err = ate.ate_rmse(_pose_list(result.poses), _pose_list(gt_poses))
+    assert err < 1e-3, err

@@ -198,3 +198,12 @@ def test_lm_rejection_increases_lambda():
     np.testing.assert_allclose(float(new_state.lm_coef), 0.01, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(new_state.model), np.ones(2))
     assert not bool(cont)  # d_energy = 0.5 <= 1.0
+
+
+def test_failure_flag_on_singular_hessian():
+    """(0,0): singular GN Hessian -> Cholesky fails; the loop must exit with
+    failed=True and leave the model untouched (the reference's graceful
+    degradation path, inverse_compositional.rs:195-199)."""
+    result = solve_rosenbrock(jnp.array([0.0, 0.0]))
+    assert bool(result.failed)
+    np.testing.assert_allclose(np.asarray(result.state.model), [0.0, 0.0], atol=1e-7)

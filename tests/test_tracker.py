@@ -131,3 +131,23 @@ def test_bucketed_tracker_matches_unbucketed(seq):
     for pr, pb in zip(est_ref, est_bkt):
         # identical up to f32 reduction-order jitter
         np.testing.assert_allclose(np.asarray(pb.t), np.asarray(pr.t), atol=2e-4)
+
+
+def test_tracker_graceful_on_degenerate_keyframe(seq):
+    """A textureless keyframe yields no candidates: tracking must flag
+    failure and keep the previous pose instead of crashing (the reference's
+    only failure path, lm_optimizer.rs:131-133 + inverse_compositional.rs:195-208)."""
+    h, w = seq.grays[0].shape
+    config = tracker_mod.TrackerConfig(height=h, width=w, nb_levels=4, candidate_cap=2048)
+    flat = jnp.full((h, w), 128, jnp.uint8)
+    depth = jnp.asarray(seq.depths[0])
+    trk = tracker_mod.init_tracker(config, seq.intrinsics, 0.0, depth, 0.0, flat)
+    pose_before = trk.current_pose
+    trk.track(1.0, jnp.asarray(seq.depths[1]), 1.0, jnp.asarray(seq.grays[1]))
+    assert trk.last_failed
+    np.testing.assert_array_equal(
+        np.asarray(trk.current_pose.t), np.asarray(pose_before.t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(trk.current_pose.q), np.asarray(pose_before.q)
+    )
