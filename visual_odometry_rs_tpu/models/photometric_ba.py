@@ -1,0 +1,277 @@
+"""Windowed photometric bundle adjustment (DSO-style keyframe window).
+
+The capability the reference explicitly defers to future work
+("sliding window of keyframes optimization as in DSO",
+reference README.md:54-55): joint refinement of a window of F frame poses
+AND the keyframe candidates' inverse depths by minimizing photometric
+residuals
+
+    r_{f,i} = I_f( warp(p_i, d_i, T_f) ) - I_0(p_i)
+
+over every (frame, candidate) pair, with Gauss-Newton/LM on the
+(6F + N)-dimensional normal equations reduced by the Schur complement over
+the inverse-depth diagonal (each depth is a scalar block — the
+embarrassingly parallel analog of ``parallel.ba``'s 3x3 point blocks).
+
+TPU-first design:
+
+- residuals and Jacobians evaluate for ALL F x N pairs at once (vmap over
+  frames of the masked candidate arrays; bilinear sampling through the same
+  ``ops.interp`` kernels as the tracker);
+- Jacobians come from forward-mode autodiff of the warp+sample chain w.r.t.
+  a right-multiplied twist at each pose and the inverse depth — 7 tangents
+  per pair, exact, convention-safe;
+- the depth Schur elimination is a masked elementwise pass; the reduced
+  6F x 6F camera system solves with one Cholesky (frame 0 gauge-fixed);
+- the LM loop is a ``lax.while_loop`` with the tracker's accept/reject
+  semantics.
+
+Out-of-view or invalid pairs get weight 0; depths whose total coupling is
+degenerate keep their value (damped 1x1 inverse).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as camera_mod
+from ..core.camera import Intrinsics
+from ..math import pose as pose_mod
+from ..math import se3
+from ..math.pose import Pose
+from ..ops import interp
+from ..utils.types import Float
+
+
+class Window(NamedTuple):
+    """Fixed-shape photometric window problem.
+
+    tmpl_xs/tmpl_ys/tmpl_vals/valid: (N,) keyframe candidates (image-0 frame).
+    idepth: (N,) initial inverse depths.
+    poses: Pose with leading (F,) — keyframe->frame motions (frame 0 should
+      be identity; it is gauge-fixed).
+    images: (F, H, W) the window frames (u8 or f32).
+    intrinsics: shared pinhole intrinsics.
+    """
+
+    tmpl_xs: jnp.ndarray
+    tmpl_ys: jnp.ndarray
+    tmpl_vals: jnp.ndarray
+    valid: jnp.ndarray
+    idepth: jnp.ndarray
+    poses: Pose
+    images: jnp.ndarray
+    intrinsics: Intrinsics
+
+
+class WindowResult(NamedTuple):
+    poses: Pose
+    idepth: jnp.ndarray
+    energy: jnp.ndarray
+    nb_iter: jnp.ndarray
+
+
+def _pair_residual(win: Window, pose_f: Pose, image_f, xi, d_i, x, y, method: str):
+    """Residual of one (frame, candidate) pair at twist perturbation ``xi``
+    (right-multiplied) and inverse depth ``d_i``.  Differentiable in (xi, d)."""
+    pose = pose_mod.compose(pose_f, se3.exp(xi))
+    u, v = camera_mod.warp(pose, x, y, d_i, win.intrinsics)
+    vals, inside = interp.bilinear(image_f, u[None], v[None], method)
+    return vals[0], inside[0]
+
+
+def _frame_residuals(win: Window, pose_f: Pose, image_f, idepth, method: str):
+    """All candidates against one frame: residuals + (7,) Jacobians.
+
+    Jacobian columns: 6 twist (right-multiplied at pose_f) + 1 inverse depth.
+    """
+    zero_xi = jnp.zeros((6,), Float)
+
+    def val_fn(x, y, d, xi, dd):
+        val, _ = _pair_residual(win, pose_f, image_f, xi, d + dd, x, y, method)
+        return val
+
+    def full(x, y, d, tmpl):
+        val, inside = _pair_residual(win, pose_f, image_f, zero_xi, d, x, y, method)
+        jac_xi = jax.jacfwd(lambda xi: val_fn(x, y, d, xi, 0.0))(zero_xi)  # (6,)
+        jac_d = jax.jacfwd(lambda dd: val_fn(x, y, d, zero_xi, dd))(jnp.asarray(0.0, Float))
+        r = val - tmpl
+        return r, inside, jac_xi, jac_d
+
+    return jax.vmap(full)(win.tmpl_xs, win.tmpl_ys, idepth, win.tmpl_vals)
+
+
+def _build(win: Window, poses: Pose, idepth, method: str):
+    """(F, N) residuals/Jacobians/masks for the whole window."""
+
+    def per_frame(q, t, image_f):
+        return _frame_residuals(win, Pose(q, t), image_f, idepth, method)
+
+    r, inside, j_xi, j_d = jax.vmap(per_frame)(poses.q, poses.t, win.images)
+    mask = inside & win.valid[None, :]
+    maskf = mask.astype(Float)
+    r = r * maskf
+    j_xi = j_xi * maskf[..., None]
+    j_d = j_d * maskf
+    return r, maskf, j_xi, j_d
+
+
+def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str):
+    """One damped Schur-reduced Gauss-Newton step; returns deltas + energy."""
+    F = poses.q.shape[0]
+    r, maskf, j_xi, j_d = _build(win, poses, idepth, method)
+
+    # camera diagonal blocks A_f = sum_i J_xi^T J_xi  (F, 6, 6)
+    A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
+    b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)  # (F, 6)
+    # depth diagonal D_i = sum_f j_d^2 + prior  (N,); the prior anchors each
+    # inverse depth to its RGB-D measurement (win.idepth) with weight
+    # sigma_I^2 / sigma_d^2 — photometric signal alone sits below the u8
+    # quantization floor for small depth errors, the sensor term keeps the
+    # depth column of the system observable (DSO uses the same device)
+    validf = win.valid.astype(Float)
+    D = jnp.sum(j_d * j_d, axis=0) + prior_weight * validf
+    b_d = -jnp.sum(j_d * r, axis=0) + prior_weight * validf * (win.idepth - idepth)
+    # coupling E[f, i, a] = j_xi[f,i,a] * j_d[f,i]
+    E = j_xi * j_d[..., None]  # (F, N, 6)
+
+    eye6 = jnp.eye(6, dtype=Float)
+    A_damped = A * (1.0 + lm * eye6)
+    D_damped = D * (1.0 + lm) + 1e-10
+
+    D_inv = 1.0 / D_damped  # (N,)
+    # Schur: S[f,a,g,b] = A_damped diag - sum_i E[f,i,a] D_inv[i] E[g,i,b]
+    S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
+    S = jnp.zeros((F, 6, F, 6), Float)
+    S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
+    S = S - S_fill
+    rhs = b_cam - jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
+
+    # gauge-fix frame 0 (keyframe): delta_0 = 0
+    n = 6 * F
+    S2 = S.reshape(n, n)
+    rhs2 = rhs.reshape(n)
+    idx = jnp.arange(n)
+    free = idx >= 6
+    mask2d = free[:, None] & free[None, :]
+    S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
+    rhs2 = jnp.where(free, rhs2, 0.0)
+    chol = jnp.linalg.cholesky(S2)
+    d_cam = jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, 6)
+
+    # back-substitute depths: d_d = D^-1 (b_d - E^T d_cam)
+    Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
+    d_depth = D_inv * (b_d - Et_dc)
+    return d_cam, d_depth
+
+
+def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str):
+    """(total energy, number of contributing pairs)."""
+    r, maskf, _, _ = _build(win, poses, idepth, method)
+    validf = win.valid.astype(Float)
+    prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
+    return jnp.sum(r * r) + prior, jnp.sum(maskf)
+
+
+def solve_window(
+    win: Window,
+    *,
+    max_iterations: int = 15,
+    lm_init: float = 1e-4,
+    idepth_prior_weight: float = 1e4,
+    energy_tol: float = 0.01,
+    interp_method: str = "gather",
+) -> WindowResult:
+    """LM-damped windowed photometric BA.  Jittable; fixed shapes.
+
+    Accept/reject semantics follow the tracker's LM (lm_optimizer.rs:
+    144-174): a step is kept only when the energy does not increase and all
+    values stay finite; LM coefficient x0.3 on accept, x10 on reject.
+
+    ``idepth_prior_weight`` = sigma_I^2 / sigma_d^2 of the sensor: with the
+    reference's idepth variance 1e-4 (tum_rgbd.rs:20) and ~1 intensity unit
+    of photometric noise, the default is 1/1e-4 = 1e4.
+
+    ``energy_tol`` is PER CONTRIBUTING PAIR (intensity² units), the analog
+    of the reference's absolute d_energy stop on the per-point mean
+    (lm_optimizer.rs:179): the quantized bilinear energy is riddled with
+    micro-minima at the <0.1-intensity scale, and iterating into them chases
+    resampling noise rather than signal.
+    """
+
+    def apply(poses, idepth, d_cam, d_depth):
+        new_poses = jax.vmap(lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi)))(
+            poses.q, poses.t, d_cam
+        )
+        new_poses = pose_mod.renormalize_first_order(Pose(new_poses.q, new_poses.t))
+        new_idepth = jnp.maximum(idepth + d_depth, 1e-6)  # idepth must stay +
+        return new_poses, new_idepth
+
+    w_prior = jnp.asarray(idepth_prior_weight, Float)
+
+    def body(carry):
+        poses, idepth, energy, lm, it, done = carry
+        d_cam, d_depth = _gn_step(win, poses, idepth, lm, w_prior, interp_method)
+        new_poses, new_idepth = apply(poses, idepth, d_cam, d_depth)
+        new_energy, n_pairs = _energy(win, new_poses, new_idepth, w_prior, interp_method)
+        ok = (
+            jnp.isfinite(new_energy)
+            & (new_energy <= energy)
+            & jnp.all(jnp.isfinite(new_poses.q))
+            & jnp.all(jnp.isfinite(new_poses.t))
+            & jnp.all(jnp.isfinite(new_idepth))
+        )
+        poses = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_poses, poses
+        )
+        idepth = jnp.where(ok, new_idepth, idepth)
+        lm = jnp.where(ok, lm * 0.3, lm * 10.0)
+        d_energy = energy - new_energy
+        done = jnp.logical_or(
+            it + 1 >= max_iterations,
+            jnp.logical_and(ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)),
+        )
+        energy = jnp.where(ok, new_energy, energy)
+        return poses, idepth, energy, lm, it + 1, done
+
+    energy0, _ = _energy(win, win.poses, win.idepth, w_prior, interp_method)
+    poses, idepth, energy, _, it, _ = jax.lax.while_loop(
+        lambda c: ~c[-1],
+        body,
+        (
+            win.poses, win.idepth, energy0,
+            jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        ),
+    )
+    return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it)
+
+
+def window_from_tracking(
+    config,
+    intrinsics: Intrinsics,
+    kf_levels,
+    images,
+    tracked_poses: Pose,
+    level: int = 0,
+) -> Window:
+    """Assemble a ``Window`` from tracker outputs.
+
+    ``kf_levels`` is ``KeyframeData.levels`` of the window's keyframe,
+    ``images`` the (F, H, W) frame stack at the chosen pyramid level, and
+    ``tracked_poses`` the tracker's keyframe->frame motion estimates (the
+    initialization BA refines).
+    """
+    obs = kf_levels[level]
+    return Window(
+        tmpl_xs=obs.xs,
+        tmpl_ys=obs.ys,
+        tmpl_vals=obs.tmpl_vals,
+        valid=obs.valid,
+        idepth=obs.idepth,
+        poses=tracked_poses,
+        images=images,
+        intrinsics=obs.intrinsics,
+    )
