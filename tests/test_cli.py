@@ -164,3 +164,42 @@ def test_cli_batch_sharded_over_mesh(tmp_path):
             frames = tum_rgbd.parse_trajectory(f.read())
         assert len(frames) == 2
         assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in frames)
+
+
+def test_cli_refine_improves_or_preserves_trajectory(tmp_path):
+    """vors_refine: track then refine; refined ATE stays within the
+    photometric floor of the tracked ATE (and the plumbing round-trips)."""
+    from visual_odometry_rs_tpu.cli import vors_refine
+    from visual_odometry_rs_tpu.eval import ate
+
+    seq = synthetic.generate_sequence(nb_frames=6, height=120, width=160, seed=9)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_track.main(
+            ["fr1", assoc_path, "--nb-levels", "4", "--candidate-cap", "2048"]
+        )
+    assert rc == 0
+    traj_path = str(tmp_path / "traj.txt")
+    with open(traj_path, "w") as f:
+        f.write(buf.getvalue())
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = vors_refine.main(
+            ["fr1", assoc_path, traj_path, "--window", "3",
+             "--nb-levels", "4", "--candidate-cap", "1024"]
+        )
+    assert rc == 0
+    refined = tum_rgbd.parse_trajectory(buf2.getvalue())
+    tracked = tum_rgbd.parse_trajectory(buf.getvalue())
+    assert len(refined) == len(tracked) == 5
+
+    gt = seq.poses[1:]
+    ate_tracked = ate.ate_rmse([f.pose for f in tracked], gt)
+    ate_refined = ate.ate_rmse([f.pose for f in refined], gt)
+    # fr1 intrinsics on a rescaled render -> rough tracking; refinement must
+    # not blow the trajectory up (bounded by tracked ATE + photometric floor)
+    assert np.isfinite(ate_refined)
+    assert ate_refined < ate_tracked + 0.02, (ate_tracked, ate_refined)

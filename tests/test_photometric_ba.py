@@ -152,3 +152,24 @@ def test_window_refines_noisy_depth_sensor():
     assert err_after.mean() < err_before.mean() * 0.5, (
         err_before.mean(), err_after.mean(),
     )
+
+
+def test_window_sharded_matches_single(window_setup):
+    """Candidate-sharded window BA on the 8-device mesh matches the
+    single-device solve (one psum of the camera system per iteration)."""
+    from visual_odometry_rs_tpu.parallel import mesh as mesh_mod
+
+    seq, config, kf, images, gt_poses = window_setup
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, images, _perturbed(gt_poses, 3e-3, seed=2)
+    )
+    ref = jax.jit(lambda w: photometric_ba.solve_window(w, max_iterations=10))(win)
+    mesh = mesh_mod.make_mesh((8,), ("points",))
+    got = photometric_ba.solve_window_sharded(win, mesh, max_iterations=10)
+    np.testing.assert_allclose(
+        np.asarray(got.poses.t), np.asarray(ref.poses.t), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.idepth), np.asarray(ref.idepth), atol=1e-4
+    )
+    np.testing.assert_allclose(float(got.energy), float(ref.energy), rtol=1e-3)

@@ -1,0 +1,155 @@
+"""CLI: offline windowed photometric refinement of a tracked trajectory.
+
+    python -m visual_odometry_rs_tpu.cli.vors_refine fr1 associations.txt \\
+        trajectory.txt [--window 6] > refined.txt
+
+Post-processes a TUM-format trajectory produced by ``vors_track`` (or any
+TUM trajectory aligned with the associations file): the sequence is split
+into windows of ``--window`` frames; each window's first frame becomes its
+keyframe (pose held fixed as the gauge), and the window's poses and the
+keyframe candidates' inverse depths are jointly refined with the
+Schur-reduced photometric LM solve (``models.photometric_ba``) — the
+sliding-window optimization the reference defers to future work (its
+README.md:54-55).
+
+Refined trajectory prints to stdout in TUM format; diagnostics to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+USAGE = "Usage: vors_refine [fr1|fr2|fr3|icl] associations_file trajectory_file"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(usage=USAGE)
+    parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
+    parser.add_argument("associations_file")
+    parser.add_argument("trajectory_file")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--window", type=int, default=6)
+    parser.add_argument("--nb-levels", type=int, default=6,
+                        help="pyramid depth for candidate selection")
+    parser.add_argument("--candidate-cap", type=int, default=2048)
+    parser.add_argument("--max-iterations", type=int, default=15)
+    parser.add_argument("--idepth-prior-weight", type=float, default=1e4)
+    parser.add_argument(
+        "--energy-tol", type=float, default=1.0,
+        help="per-pair d_energy stop (intensity^2).  The default matches the "
+        "reference tracker's coarse stop: refinement corrects gross error "
+        "but does not descend into the ~0.2 px photometric bias floor of "
+        "quantized images (which would degrade already-good trajectories). "
+        "Lower it for noisy sensors where the photometric signal dominates.",
+    )
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dataset import tum_rgbd
+    from ..math import pose as pose_mod
+    from ..math.pose import Pose
+    from ..models import photometric_ba, tracker as tracker_mod
+    from ..ops import pyramid as pyramid_ops
+
+    try:
+        associations = tum_rgbd.load_associations(args.associations_file)
+        with open(args.trajectory_file) as f:
+            trajectory = tum_rgbd.parse_trajectory(f.read())
+    except OSError as e:
+        print(USAGE, file=sys.stderr)
+        print(f"Cannot read inputs: {e}", file=sys.stderr)
+        return 1
+
+    # vors_track emits one line per association after the first; frame 0 is
+    # the (identity) initialization.  Build camera-to-world per association.
+    if len(trajectory) != len(associations) - 1:
+        print(
+            f"trajectory has {len(trajectory)} lines; expected "
+            f"{len(associations) - 1} (one per association after the first)",
+            file=sys.stderr,
+        )
+        return 1
+    c2w = [pose_mod.identity()] + [f.pose for f in trajectory]
+
+    depth0, gray0 = tum_rgbd.read_images(associations[0])
+    h, w = gray0.shape
+    config = tracker_mod.TrackerConfig(
+        height=h,
+        width=w,
+        nb_levels=args.nb_levels,
+        candidate_cap=args.candidate_cap,
+        depth_scale=tum_rgbd.DEPTH_SCALE,
+    )
+
+    precompute = jax.jit(
+        lambda d, p: tracker_mod.precompute_keyframe(
+            config, tum_rgbd.INTRINSICS[args.camera_id](), d, p
+        )
+    )
+    solve = jax.jit(
+        lambda win: photometric_ba.solve_window(
+            win,
+            max_iterations=args.max_iterations,
+            idepth_prior_weight=args.idepth_prior_weight,
+            energy_tol=args.energy_tol,
+        )
+    )
+
+    frames = list(tum_rgbd.frame_loader(associations))
+    W = max(2, args.window)
+    refined: list = [None] * len(associations)
+    refined[0] = c2w[0]
+
+    for k0 in range(0, len(associations) - 1, W - 1):
+        k_end = min(k0 + W, len(associations))
+        idxs = list(range(k0, k_end))
+        if len(idxs) < 2:
+            break
+        depth_kf, gray_kf = frames[k0]
+        pyr = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(gray_kf))
+        kf = precompute(jnp.asarray(depth_kf), pyr)
+        images = jnp.asarray(
+            np.stack([frames[i][1] for i in idxs]).astype(np.float32)
+        )
+        kf_pose = refined[k0] if refined[k0] is not None else c2w[k0]
+        rel = [
+            pose_mod.compose(pose_mod.inverse(c2w[i]), c2w[k0]) for i in idxs
+        ]
+        init_poses = Pose(
+            jnp.stack([p.q for p in rel]), jnp.stack([p.t for p in rel])
+        )
+        win = photometric_ba.window_from_tracking(
+            config, tum_rgbd.INTRINSICS[args.camera_id](), kf.levels, images, init_poses
+        )
+        result = solve(win)
+        print(
+            f"window {k0}..{k_end - 1}: {int(result.nb_iter)} iterations, "
+            f"energy {float(result.energy):.1f}",
+            file=sys.stderr,
+        )
+        for j, i in enumerate(idxs):
+            # cam_i = kf_pose * inverse(model_i), anchored at the refined kf
+            refined[i] = pose_mod.compose(
+                kf_pose,
+                pose_mod.inverse(Pose(result.poses.q[j], result.poses.t[j])),
+            )
+
+    for i, assoc in enumerate(associations[1:], start=1):
+        pose = refined[i] if refined[i] is not None else c2w[i]
+        print(
+            tum_rgbd.Frame(timestamp=assoc.depth_timestamp, pose=pose).to_string()
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -249,6 +249,147 @@ def solve_window(
     return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it)
 
 
+def solve_window_sharded(
+    win: Window,
+    mesh,
+    axis: str = "points",
+    *,
+    max_iterations: int = 15,
+    lm_init: float = 1e-4,
+    idepth_prior_weight: float = 1e4,
+    energy_tol: float = 0.01,
+    interp_method: str = "gather",
+) -> WindowResult:
+    """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
+
+    Same SPMD shape as ``parallel.ba.solve_point_sharded``: every chip
+    evaluates residuals/Jacobians and eliminates the scalar depth blocks for
+    its own N/n candidates against the replicated window images; one
+    ``psum`` of the (6F, 6F+1) camera system per iteration rides the ICI;
+    the small camera solve is replicated; depth back-substitution is local.
+    Returns replicated poses and the candidate-sharded refined depths.
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P_
+
+    w_prior = jnp.asarray(idepth_prior_weight, Float)
+
+    def sharded(win_local: Window) -> WindowResult:
+        F = win_local.poses.q.shape[0]
+
+        def energy_of(poses, idepth):
+            e, n = _energy(win_local, poses, idepth, w_prior, interp_method)
+            return _jax.lax.psum(e, axis), _jax.lax.psum(n, axis)
+
+        def gn(poses, idepth, lm):
+            r, maskf, j_xi, j_d = _build(win_local, poses, idepth, interp_method)
+            A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
+            b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)
+            validf = win_local.valid.astype(Float)
+            D = jnp.sum(j_d * j_d, axis=0) + w_prior * validf
+            b_d = -jnp.sum(j_d * r, axis=0) + w_prior * validf * (
+                win_local.idepth - idepth
+            )
+            E = j_xi * j_d[..., None]
+            eye6 = jnp.eye(6, dtype=Float)
+            A_damped = A * (1.0 + lm * eye6)
+            D_damped = D * (1.0 + lm) + 1e-10
+            D_inv = 1.0 / D_damped
+            S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
+            rhs_fill = jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
+            # one collective: local partials of the camera system
+            A_damped, b_cam, S_fill, rhs_fill = _jax.lax.psum(
+                (A_damped, b_cam, S_fill, rhs_fill), axis
+            )
+            S = jnp.zeros((F, 6, F, 6), Float)
+            S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
+            S = S - S_fill
+            rhs = b_cam - rhs_fill
+            n = 6 * F
+            S2 = S.reshape(n, n)
+            rhs2 = rhs.reshape(n)
+            idx = jnp.arange(n)
+            free = idx >= 6
+            mask2d = free[:, None] & free[None, :]
+            S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
+            rhs2 = jnp.where(free, rhs2, 0.0)
+            chol = jnp.linalg.cholesky(S2)
+            d_cam = _jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, 6)
+            Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
+            d_depth = D_inv * (b_d - Et_dc)
+            return d_cam, d_depth
+
+        def apply(poses, idepth, d_cam, d_depth):
+            new_poses = _jax.vmap(
+                lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
+            )(poses.q, poses.t, d_cam)
+            new_poses = pose_mod.renormalize_first_order(
+                Pose(new_poses.q, new_poses.t)
+            )
+            return new_poses, jnp.maximum(idepth + d_depth, 1e-6)
+
+        def body(carry):
+            poses, idepth, energy, lm, it, done = carry
+            d_cam, d_depth = gn(poses, idepth, lm)
+            new_poses, new_idepth = apply(poses, idepth, d_cam, d_depth)
+            new_energy, n_pairs = energy_of(new_poses, new_idepth)
+            # the depth-finiteness vote must be GLOBAL: a shard-local `ok`
+            # would let shards accept/reject independently and silently
+            # diverge the replicated poses
+            bad_depth = _jax.lax.psum(
+                jnp.sum(~jnp.isfinite(new_idepth)), axis
+            )
+            ok = (
+                jnp.isfinite(new_energy)
+                & (new_energy <= energy)
+                & jnp.all(jnp.isfinite(new_poses.q))
+                & jnp.all(jnp.isfinite(new_poses.t))
+                & (bad_depth == 0)
+            )
+            poses = _jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_poses, poses
+            )
+            idepth = jnp.where(ok, new_idepth, idepth)
+            lm = jnp.where(ok, lm * 0.3, lm * 10.0)
+            d_energy = energy - new_energy
+            done = jnp.logical_or(
+                it + 1 >= max_iterations,
+                jnp.logical_and(
+                    ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)
+                ),
+            )
+            energy = jnp.where(ok, new_energy, energy)
+            return poses, idepth, energy, lm, it + 1, done
+
+        energy0, _ = energy_of(win_local.poses, win_local.idepth)
+        poses, idepth, energy, _, it, _ = _jax.lax.while_loop(
+            lambda c: ~c[-1],
+            body,
+            (
+                win_local.poses, win_local.idepth, energy0,
+                jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            ),
+        )
+        return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it)
+
+    spec = Window(
+        tmpl_xs=P_(axis),
+        tmpl_ys=P_(axis),
+        tmpl_vals=P_(axis),
+        valid=P_(axis),
+        idepth=P_(axis),
+        poses=Pose(q=P_(), t=P_()),
+        images=P_(),
+        intrinsics=jax.tree_util.tree_map(lambda _: P_(), win.intrinsics),
+    )
+    out_spec = WindowResult(
+        poses=Pose(q=P_(), t=P_()), idepth=P_(axis), energy=P_(), nb_iter=P_()
+    )
+    fn = jax.shard_map(sharded, mesh=mesh, in_specs=(spec,), out_specs=out_spec)
+    return fn(win)
+
+
 def window_from_tracking(
     config,
     intrinsics: Intrinsics,
