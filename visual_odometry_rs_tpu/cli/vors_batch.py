@@ -51,6 +51,11 @@ def main(argv=None) -> int:
         "--interp", choices=["auto", "gather", "onehot", "onehot_weighted", "pallas"],
         default="auto",
     )
+    parser.add_argument(
+        "--robust-delta", type=float, default=0.0,
+        help="Huber robust weighting threshold in intensity units "
+        "(0 = reference-exact L2)",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
         idepth_variance=1e-4,
         candidate_cap=args.candidate_cap,
         interp_method=args.interp,
+        robust_delta=args.robust_delta,
     )
 
     # batch axis over the data mesh when it divides the device count

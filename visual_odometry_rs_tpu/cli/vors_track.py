@@ -35,6 +35,11 @@ def main(argv=None) -> int:
         help="bilinear sampling implementation",
     )
     parser.add_argument(
+        "--robust-delta", type=float, default=0.0,
+        help="Huber robust weighting threshold in intensity units "
+        "(0 = reference-exact L2)",
+    )
+    parser.add_argument(
         "--metrics", action="store_true",
         help="print per-frame JSON metrics and a session summary to stderr",
     )
@@ -88,6 +93,7 @@ def main(argv=None) -> int:
         candidate_cap=args.candidate_cap,
         interp_method=args.interp,
         bucket_candidates=not args.no_bucket,
+        robust_delta=args.robust_delta,
     )
     if args.chunk > 0:
         return _run_chunked(args, config, intrinsics, associations, depth0, gray0)

@@ -74,6 +74,13 @@ class TrackerConfig:
     candidate_cap: int = 8192
     # bilinear sampling: "auto" (MXU one-hot on TPU, gather elsewhere), "gather", "onehot"
     interp_method: str = "auto"
+    # Huber robust weighting of photometric residuals (green-field extension;
+    # the reference is plain L2, lm_optimizer.rs:79-81).  0.0 = off
+    # (reference-exact).  When on, residuals beyond ``robust_delta``
+    # intensity units get IRLS weight delta/|r| — occlusions and specular
+    # outliers stop dragging the solve.  Not supported by the fused Pallas
+    # kernel path (interp_method="pallas" falls back to "onehot"/"gather").
+    robust_delta: float = 0.0
     # host-side Tracker only: slice each keyframe level down to the smallest
     # power-of-two bucket >= its actual candidate count (valid candidates are
     # contiguous at the front after the top_k compaction), so per-frame LM
@@ -248,13 +255,22 @@ def _eval_energy(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
     return energy, r, inside
 
 
-def _eval_full(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
+def _eval_full(
+    obs: LevelObs, image: jnp.ndarray, model: Pose, method: str,
+    robust_delta: float = 0.0,
+):
     """Energy + Jᵀr + Σ JJᵀ in one fused masked matmul
     (lm_optimizer.rs:90-107).
 
     ``method="pallas"`` routes the whole evaluation (warp + bilinear +
     residual + reductions) through the fused Pallas TPU kernel.
+
+    ``robust_delta > 0`` applies Huber IRLS weights (weighted energy,
+    weighted normal equations); the Pallas path does not support it and
+    callers fall back to the XLA paths.
     """
+    if robust_delta > 0.0 and method == "pallas":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
     if method == "pallas":
         from ..ops.pallas import residual_kernel
 
@@ -269,6 +285,12 @@ def _eval_full(obs: LevelObs, image: jnp.ndarray, model: Pose, method: str):
         return energy, m[:, 6], m[:, :6]
     energy, r, inside = _eval_energy(obs, image, model, method)
     maskf = inside.astype(Float)
+    if robust_delta > 0.0:
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= robust_delta, 1.0, robust_delta / jnp.maximum(absr, 1e-12))
+        maskf = maskf * w
+        count = jnp.sum(inside).astype(Float)
+        energy = jnp.sum(w * r * r) / count  # weighted mean energy
     jm = obs.jacobians * maskf[:, None]  # (N, 6)
     rhs = jnp.concatenate([obs.jacobians, r[:, None]], axis=1)  # (N, 7)
     m = jnp.matmul(jm.T, rhs, precision=jax.lax.Precision.HIGHEST)
@@ -284,6 +306,7 @@ def solve_level(
     max_iterations: int = 20,
     energy_tol: float = 1.0,
     interp_method: str = "auto",
+    robust_delta: float = 0.0,
 ):
     """LM solve of one pyramid level (the reference's
     ``LMOptimizerState::iterative_solve`` instantiation, lm_optimizer.rs:111-193).
@@ -293,7 +316,7 @@ def solve_level(
     """
 
     def init(_, model):
-        energy, grad, hess = _eval_full(obs, image, model, interp_method)
+        energy, grad, hess = _eval_full(obs, image, model, interp_method, robust_delta)
         return LMState(model, energy, grad, hess, jnp.asarray(lm_coef_init, Float))
 
     def step(state):
@@ -302,7 +325,7 @@ def solve_level(
         return pose_mod.renormalize_first_order(new_model)
 
     def eval_fn(_, state, new_model):
-        energy, grad, hess = _eval_full(obs, image, new_model, interp_method)
+        energy, grad, hess = _eval_full(obs, image, new_model, interp_method, robust_delta)
         return (new_model, energy, grad, hess)
 
     def stop(state, nb_iter, eval_out):
@@ -353,6 +376,7 @@ def track_frame(
             max_iterations=config.max_iterations,
             energy_tol=config.energy_tol,
             interp_method=config.interp_method,
+            robust_delta=config.robust_delta,
         )
         # keep the previous model on failure; freeze after the first failure
         model = jax.tree_util.tree_map(
