@@ -56,6 +56,11 @@ def main(argv=None) -> int:
         help="Huber robust weighting threshold in intensity units "
         "(0 = reference-exact L2)",
     )
+    parser.add_argument(
+        "--brightness-model", action="store_true",
+        help="estimate per-frame affine brightness (gain/bias) jointly with "
+        "the pose — for auto-exposure cameras",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -103,6 +108,7 @@ def main(argv=None) -> int:
         candidate_cap=args.candidate_cap,
         interp_method=args.interp,
         robust_delta=args.robust_delta,
+        brightness_model=args.brightness_model,
     )
 
     # batch axis over the data mesh when it divides the device count

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
         "(0 = reference-exact L2)",
     )
     parser.add_argument(
+        "--brightness-model", action="store_true",
+        help="estimate per-frame affine brightness (gain/bias) jointly with "
+        "the pose — for auto-exposure cameras",
+    )
+    parser.add_argument(
         "--metrics", action="store_true",
         help="print per-frame JSON metrics and a session summary to stderr",
     )
@@ -94,6 +99,7 @@ def main(argv=None) -> int:
         interp_method=args.interp,
         bucket_candidates=not args.no_bucket,
         robust_delta=args.robust_delta,
+        brightness_model=args.brightness_model,
     )
     if args.chunk > 0:
         return _run_chunked(args, config, intrinsics, associations, depth0, gray0)

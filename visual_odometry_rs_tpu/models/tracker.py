@@ -81,6 +81,11 @@ class TrackerConfig:
     # outliers stop dragging the solve.  Not supported by the fused Pallas
     # kernel path (interp_method="pallas" falls back to "onehot"/"gather").
     robust_delta: float = 0.0
+    # Affine brightness modeling (green-field; DSO-style): estimate a per-
+    # frame gain/bias (a, b) jointly with the pose, residual
+    # ``I_f - (a*T + b)``.  Off by default (reference-exact: the reference
+    # assumes brightness constancy).  Use for auto-exposure cameras.
+    brightness_model: bool = False
     # host-side Tracker only: slice each keyframe level down to the smallest
     # power-of-two bucket >= its actual candidate count (valid candidates are
     # contiguous at the front after the top_k compaction), so per-frame LM
@@ -343,6 +348,107 @@ def solve_level(
 
 
 # ---------------------------------------------------------------------------
+# Affine-brightness variant (green-field; DSO-style gain/bias per frame)
+# ---------------------------------------------------------------------------
+
+
+class BrightnessState(NamedTuple):
+    """Pose + per-frame affine brightness ``ab = (gain a, bias b)``:
+    residual ``r = I_f(warp(p)) - (a * T(p) + b)``.  The reference has no
+    appearance model (its residual is raw intensity difference,
+    lm_optimizer.rs:79); auto-exposure cameras (TUM fr1) violate that
+    brightness-constancy assumption — this variant estimates (a, b) jointly
+    with the pose each frame."""
+
+    pose: Pose
+    ab: jnp.ndarray  # (2,) f32, init (1, 0)
+
+
+def _eval_full_brightness(
+    obs: LevelObs, image: jnp.ndarray, bst: BrightnessState, method: str,
+    robust_delta: float = 0.0,
+):
+    """8-parameter normal equations: columns [J6_ic | T | 1].
+
+    The residual is exactly linear in (a, b), so the appearance block is
+    plain Gauss-Newton with additive updates; the pose block keeps the
+    inverse-compositional convention (update ``pose ∘ exp(δ)⁻¹``), and the
+    stacked signs work out so one (8, N) x (N, 9) matmul yields a system
+    whose solution updates both (pose IC-inverse, ab additive).
+    """
+    if method == "pallas":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+    a, b = bst.ab[0], bst.ab[1]
+    u, v = camera_mod.warp(bst.pose, obs.xs, obs.ys, obs.idepth, obs.intrinsics)
+    vals, in_img = interp.bilinear(image, u, v, method)
+    inside = jnp.logical_and(in_img, obs.valid)
+    r = jnp.where(inside, vals - (a * obs.tmpl_vals + b), 0.0)
+    count = jnp.sum(inside).astype(Float)
+    energy = jnp.sum(r * r) / count
+    maskf = inside.astype(Float)
+    if robust_delta > 0.0:
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= robust_delta, 1.0, robust_delta / jnp.maximum(absr, 1e-12))
+        maskf = maskf * w
+        energy = jnp.sum(w * r * r) / count
+    ones = jnp.ones_like(obs.tmpl_vals)
+    j8 = jnp.concatenate(
+        [obs.jacobians, obs.tmpl_vals[:, None], ones[:, None]], axis=1
+    )  # (N, 8)
+    jm = j8 * maskf[:, None]
+    rhs = jnp.concatenate([j8, r[:, None]], axis=1)  # (N, 9)
+    m = jnp.matmul(jm.T, rhs, precision=jax.lax.Precision.HIGHEST)
+    return energy, m[:, 8], m[:, :8]
+
+
+def solve_level_brightness(
+    obs: LevelObs,
+    image: jnp.ndarray,
+    state0: BrightnessState,
+    *,
+    lm_coef_init: float = 0.1,
+    max_iterations: int = 20,
+    energy_tol: float = 1.0,
+    interp_method: str = "auto",
+    robust_delta: float = 0.0,
+):
+    """LM solve of one level over (pose, gain, bias)."""
+
+    def init(_, bst):
+        energy, grad, hess = _eval_full_brightness(
+            obs, image, bst, interp_method, robust_delta
+        )
+        return LMState(bst, energy, grad, hess, jnp.asarray(lm_coef_init, Float))
+
+    def step(state):
+        delta = damped_solve(state.hessian, state.gradient, state.lm_coef)
+        pose = pose_mod.compose(
+            state.model.pose, pose_mod.inverse(se3.exp(delta[:6]))
+        )
+        pose = pose_mod.renormalize_first_order(pose)
+        return BrightnessState(pose=pose, ab=state.model.ab + delta[6:8])
+
+    def eval_fn(_, state, new_model):
+        energy, grad, hess = _eval_full_brightness(
+            obs, image, new_model, interp_method, robust_delta
+        )
+        return (new_model, energy, grad, hess)
+
+    def stop(state, nb_iter, eval_out):
+        new_model, energy, grad, hess = eval_out
+        return lm_update(
+            state, nb_iter, new_model, energy, grad, hess,
+            max_iterations=max_iterations, energy_tol=energy_tol,
+        )
+
+    return iterative_solve(
+        None, state0,
+        init=init, step=step, eval_fn=eval_fn, stop_criterion=stop,
+        max_iterations=max_iterations + 3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-frame tracking
 # ---------------------------------------------------------------------------
 
@@ -365,6 +471,8 @@ def track_frame(
     On a level failure the remaining levels are skipped (the reference breaks
     the loop and the frame keeps its previous pose; the caller handles that).
     """
+    if config.brightness_model:
+        return _track_frame_brightness(config, kf, img_pyramid, init_model)
     model = init_model
     failed = jnp.asarray(False)
     for lvl in reversed(range(config.nb_levels)):
@@ -394,6 +502,47 @@ def track_frame(
     validf = coarse.valid.astype(Float)
     flow = jnp.sum(dflow * validf) / jnp.sum(validf)
     return TrackResult(model=model, failed=failed, flow=flow)
+
+
+def _track_frame_brightness(
+    config: TrackerConfig,
+    kf: KeyframeData,
+    img_pyramid: List[jnp.ndarray],
+    init_model: Pose,
+) -> TrackResult:
+    """Coarse-to-fine track with joint affine-brightness estimation.
+
+    (a, b) start at (1, 0) each frame and carry across pyramid levels, like
+    the pose; the returned TrackResult is shape-compatible with the plain
+    path (pose only — brightness is per-frame nuisance state)."""
+    state = BrightnessState(pose=init_model, ab=jnp.array([1.0, 0.0], Float))
+    failed = jnp.asarray(False)
+    for lvl in reversed(range(config.nb_levels)):
+        result = solve_level_brightness(
+            kf.levels[lvl],
+            img_pyramid[lvl],
+            state,
+            lm_coef_init=config.lm_coef_init,
+            max_iterations=config.max_iterations,
+            energy_tol=config.energy_tol,
+            interp_method=config.interp_method,
+            robust_delta=config.robust_delta,
+        )
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(failed | result.failed, old, new),
+            result.state.model,
+            state,
+        )
+        failed = jnp.logical_or(failed, result.failed)
+
+    coarse = kf.levels[-1]
+    u, v = camera_mod.warp(
+        state.pose, coarse.xs, coarse.ys, coarse.idepth, coarse.intrinsics
+    )
+    dflow = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
+    validf = coarse.valid.astype(Float)
+    flow = jnp.sum(dflow * validf) / jnp.sum(validf)
+    return TrackResult(model=state.pose, failed=failed, flow=flow)
 
 
 # ---------------------------------------------------------------------------
