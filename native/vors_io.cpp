@@ -138,13 +138,42 @@ extern "C" {
 
 const char* vors_last_error() { return g_last_error.c_str(); }
 
-// Query dimensions without decoding pixel data. Returns 0 on success.
+// Query dimensions from the PNG header only (IHDR via png_read_info — no
+// pixel decode). Returns 0 on success.
 int vors_png_dims(const char* path, int* height, int* width) {
-  Image img;  // libpng has no cheap header-only path worth the complexity:
-  // decode once here; callers that care use the loader below instead.
-  if (!decode_png(path, &img, &g_last_error)) return 1;
-  *height = img.height;
-  *width = img.width;
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) {
+    g_last_error = std::string("cannot open ") + path;
+    return 1;
+  }
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    g_last_error = std::string("not a PNG: ") + path;
+    return 1;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    g_last_error = "libpng init failed";
+    return 1;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    g_last_error = std::string("libpng header error: ") + path;
+    return 1;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  *height = static_cast<int>(png_get_image_height(png, info));
+  *width = static_cast<int>(png_get_image_width(png, info));
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
   return 0;
 }
 

@@ -203,3 +203,55 @@ def test_cli_refine_improves_or_preserves_trajectory(tmp_path):
     # not blow the trajectory up (bounded by tracked ATE + photometric floor)
     assert np.isfinite(ate_refined)
     assert ate_refined < ate_tracked + 0.02, (ate_tracked, ate_refined)
+
+
+def test_cli_chunk_rejects_checkpoint_flags(tmp_path):
+    seq = synthetic.generate_sequence(nb_frames=3, height=48, width=64, seed=1)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+    rc = vors_track.main(
+        ["fr1", assoc_path, "--chunk", "2", "--save-state", str(tmp_path / "ck.npz"),
+         "--nb-levels", "3", "--candidate-cap", "256"]
+    )
+    assert rc == 1
+
+
+def test_cli_chunk_metrics(tmp_path, capsys):
+    seq = synthetic.generate_sequence(nb_frames=4, height=48, width=64, seed=2)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_track.main(
+            ["fr1", assoc_path, "--chunk", "2", "--metrics",
+             "--nb-levels", "3", "--candidate-cap", "256"]
+        )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert '"optical_flow"' in err and "session summary" in err.lower() or '"frame_index"' in err
+
+
+def test_cli_batch_output_name_collision(tmp_path):
+    """Two association files in one directory must not clobber each other."""
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    seq = synthetic.generate_sequence(nb_frames=3, height=48, width=64, seed=3)
+    a1 = tum_rgbd.write_sequence(str(d), seq.grays, seq.depths, seq.timestamps)
+    # second associations file in the SAME directory referencing same images
+    a2 = str(d / "associations2.txt")
+    import shutil
+
+    shutil.copy(a1, a2)
+    out_dir = str(tmp_path / "trajs")
+    rc = vors_batch.main(
+        ["fr1", a1, a2, "--out-dir", out_dir, "--nb-levels", "3",
+         "--candidate-cap", "256", "--chunk", "2"]
+    )
+    assert rc == 0
+    import os
+
+    names = sorted(os.listdir(out_dir))
+    assert len(names) == 2, names
+    for n in names:
+        with open(os.path.join(out_dir, n)) as f:
+            assert len(tum_rgbd.parse_trajectory(f.read())) == 2

@@ -201,3 +201,19 @@ def test_bilinear_exact_on_integers():
     y = jnp.array([1.0, 4.0], jnp.float32)
     vals, mask = interp.bilinear_gather(img, x, y)
     np.testing.assert_array_equal(np.asarray(vals), [8 * 1 + 2, 8 * 4 + 3])
+
+
+def test_bilinear_onehot_wide_integer_exact():
+    """u16/i32 images must NOT take the bf16 path (values > 255 round in
+    bf16); onehot must match gather exactly for wide integers."""
+    import jax
+    from visual_odometry_rs_tpu.ops import interp
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 65536, size=(32, 48)), jnp.uint16)
+    x = jnp.asarray(rng.uniform(1, 45, 128), jnp.float32)
+    y = jnp.asarray(rng.uniform(1, 29, 128), jnp.float32)
+    v1, m1 = interp.bilinear_gather(img, x, y)
+    v2, m2 = interp.bilinear_onehot(img, x, y)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-6)

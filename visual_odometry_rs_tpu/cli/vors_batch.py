@@ -131,10 +131,21 @@ def main(argv=None) -> int:
         return batch_mod.batched_track_sequence(config, intrinsics, s, dd, gg)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    outs = [
-        open(os.path.join(args.out_dir, _out_name(p)), "w")
-        for p in args.associations_files
-    ]
+    # uniquify output names: two inputs mapping to the same name (same parent
+    # directory name, or one directory holding several association files)
+    # would otherwise silently clobber each other
+    names = []
+    seen = {}
+    for p in args.associations_files:
+        name = _out_name(p)
+        if name in seen:
+            seen[name] += 1
+            stem, ext = os.path.splitext(name)
+            name = f"{stem}.{seen[name]}{ext}"
+        else:
+            seen[name] = 0
+        names.append(name)
+    outs = [open(os.path.join(args.out_dir, n), "w") for n in names]
 
     loaders = [iter(tum_rgbd.frame_loader(a[1:])) for a in all_assocs]
     lengths = [len(a) - 1 for a in all_assocs]

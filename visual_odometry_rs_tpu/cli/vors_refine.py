@@ -104,21 +104,31 @@ def main(argv=None) -> int:
         )
     )
 
-    frames = list(tum_rgbd.frame_loader(associations))
+    # stream frames with a rolling window buffer: only the live window's
+    # frames are resident (a full TUM sequence would be GBs if materialized)
+    loader = iter(tum_rgbd.frame_loader(associations))
     W = max(2, args.window)
     refined: list = [None] * len(associations)
     refined[0] = c2w[0]
 
-    for k0 in range(0, len(associations) - 1, W - 1):
-        k_end = min(k0 + W, len(associations))
+    def refill(buf):
+        while len(buf) < W:
+            nxt = next(loader, None)
+            if nxt is None:
+                break
+            buf.append(nxt)
+        return buf
+
+    buf = refill([])
+    k0 = 0
+    while len(buf) >= 2:
+        k_end = k0 + len(buf)
         idxs = list(range(k0, k_end))
-        if len(idxs) < 2:
-            break
-        depth_kf, gray_kf = frames[k0]
+        depth_kf, gray_kf = buf[0]
         pyr = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(gray_kf))
         kf = precompute(jnp.asarray(depth_kf), pyr)
         images = jnp.asarray(
-            np.stack([frames[i][1] for i in idxs]).astype(np.float32)
+            np.stack([g for _, g in buf]).astype(np.float32)
         )
         kf_pose = refined[k0] if refined[k0] is not None else c2w[k0]
         rel = [
@@ -142,6 +152,12 @@ def main(argv=None) -> int:
                 kf_pose,
                 pose_mod.inverse(Pose(result.poses.q[j], result.poses.t[j])),
             )
+
+        # slide: the last frame of this window keyframes the next one
+        k0 = k_end - 1
+        buf = refill([buf[-1]])
+        if len(buf) < 2:
+            break
 
     for i, assoc in enumerate(associations[1:], start=1):
         pose = refined[i] if refined[i] is not None else c2w[i]

@@ -102,6 +102,14 @@ def main(argv=None) -> int:
         brightness_model=args.brightness_model,
     )
     if args.chunk > 0:
+        if args.resume or args.save_state:
+            print(
+                "--chunk uses functional (device-resident) tracker state and "
+                "does not support --resume/--save-state; run without --chunk "
+                "for checkpointing",
+                file=sys.stderr,
+            )
+            return 1
         return _run_chunked(args, config, intrinsics, associations, depth0, gray0)
 
     trk = tracker_mod.init_tracker(
@@ -172,6 +180,10 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
     from ..dataset import tum_rgbd
     from ..math.pose import Pose
     from ..parallel import batch as batch_mod
+    from ..utils import metrics as metrics_mod
+
+    session = metrics_mod.SessionMetrics()
+    frame_counter = [0]
 
     state = jax.jit(
         lambda d, g: batch_mod.init_state(config, intrinsics, d, g)
@@ -188,11 +200,14 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
             return state
         dd = jnp.asarray(np.stack(buf_d))
         gg = jnp.asarray(np.stack(buf_g))
-        state, (poses, diags) = run_clip(state, dd, gg)
-        q = np.asarray(poses.q)
+        with metrics_mod.Timer() as timer:
+            state, (poses, diags) = run_clip(state, dd, gg)
+            q = np.asarray(poses.q)
         t = np.asarray(poses.t)
         flows = np.asarray(diags.flow)
         fails = np.asarray(diags.failed)
+        switched = np.asarray(diags.switched)
+        per_frame_s = timer.seconds / len(buf_assoc)
         for i, a in enumerate(buf_assoc):
             print(f"Optical_flow: {flows[i]}", file=sys.stderr)
             if fails[i]:
@@ -201,6 +216,18 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
                 timestamp=a.depth_timestamp, pose=Pose(q=q[i], t=t[i])
             ).to_string()
             print(line)
+            if args.metrics:
+                frame_counter[0] += 1
+                m = metrics_mod.FrameMetrics(
+                    frame_index=frame_counter[0],
+                    timestamp=a.depth_timestamp,
+                    optical_flow=float(flows[i]),
+                    keyframe_switched=bool(switched[i]),
+                    failed=bool(fails[i]),
+                    track_seconds=per_frame_s,
+                )
+                session.record(m)
+                print(m.to_json(), file=sys.stderr)
         sys.stdout.flush()
         buf_d.clear()
         buf_g.clear()
@@ -216,6 +243,8 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
         if len(buf_d) == args.chunk:
             state = flush(state)
     flush(state)
+    if args.metrics:
+        session.print_summary()
     return 0
 
 

@@ -108,17 +108,21 @@ def bilinear_onehot(
     u0c = u0[..., None]
     # (2N, H) exact 0/1 selectors: first N rows pick v0, last N pick v0+1.
     sel01 = jnp.concatenate([(rows_idx == v0c), (rows_idx == v0c + 1)], axis=0)
-    if jnp.issubdtype(img.dtype, jnp.integer) or img.dtype == jnp.bfloat16:
-        # u8/int pixels and 0/1 selectors are exact in bf16, and each output
+    exact_in_bf16 = (
+        jnp.issubdtype(img.dtype, jnp.integer) and img.dtype.itemsize == 1
+    ) or img.dtype == jnp.bfloat16
+    if exact_in_bf16:
+        # u8/i8 pixels and 0/1 selectors are exact in bf16, and each output
         # element sums exactly one nonzero product -> default-precision bf16
-        # MXU pass is bit-exact.
+        # MXU pass is bit-exact.  Wider integers (u16 depth maps etc.) do NOT
+        # fit bf16's 8-bit significand and take the exact f32 branch below.
         gathered = jnp.dot(
             sel01.astype(jnp.bfloat16),
             img.astype(jnp.bfloat16),
             preferred_element_type=Float,
         )  # (2N, W)
     else:
-        # float images: keep full f32 through the MXU
+        # float or wide-integer images: keep full f32 through the MXU
         gathered = jnp.dot(
             sel01.astype(Float),
             img.astype(Float),

@@ -38,7 +38,7 @@ _N_PARAMS = 12
 
 
 def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
-            img_ref, out_ref):
+            img_ref, out_ref, *, exact_bf16: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -95,16 +95,27 @@ def _kernel(params_ref, xs_ref, ys_ref, z_ref, tmpl_ref, valid_ref, jac_ref,
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, height), 1)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
-    # Exact 0/1 row selectors in bf16: pixel values are u8 (exact in bf16)
-    # and each output element sums exactly one nonzero product into the f32
-    # accumulator, so a default-precision bf16 MXU pass gathers rows
-    # bit-exactly — ~3x cheaper than one Precision.HIGHEST f32 matmul.
-    img_bf16 = img_ref[:]
-    sel0 = (row_idx == v0).astype(jnp.bfloat16)
-    sel1 = (row_idx == v0 + 1).astype(jnp.bfloat16)
-    g0 = jnp.dot(sel0, img_bf16, preferred_element_type=jnp.float32)
-    g1 = jnp.dot(sel1, img_bf16, preferred_element_type=jnp.float32)
-    interp_rows = (1.0 - b) * g0 + b * g1  # (TILE, W) f32 on the VPU
+    if exact_bf16:
+        # Exact 0/1 row selectors in bf16: pixel values are u8 (exact in
+        # bf16) and each output element sums exactly one nonzero product
+        # into the f32 accumulator, so a default-precision bf16 MXU pass
+        # gathers rows bit-exactly — ~3x cheaper than one Precision.HIGHEST
+        # f32 matmul.
+        img_bf16 = img_ref[:]
+        sel0 = (row_idx == v0).astype(jnp.bfloat16)
+        sel1 = (row_idx == v0 + 1).astype(jnp.bfloat16)
+        g0 = jnp.dot(sel0, img_bf16, preferred_element_type=jnp.float32)
+        g1 = jnp.dot(sel1, img_bf16, preferred_element_type=jnp.float32)
+        interp_rows = (1.0 - b) * g0 + b * g1  # (TILE, W) f32 on the VPU
+    else:
+        # general f32 images: one weighted one-hot matmul at full precision
+        rows = jnp.where(row_idx == v0, 1.0 - b, 0.0) + jnp.where(
+            row_idx == v0 + 1, b, 0.0
+        )
+        interp_rows = jnp.dot(
+            rows, img_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     cols = jnp.where(col_idx == u0, 1.0 - a, 0.0) + jnp.where(col_idx == u0 + 1, a, 0.0)
     vals = jnp.sum(interp_rows * cols, axis=1, keepdims=True)  # (TILE, 1)
 
@@ -152,10 +163,13 @@ def fused_residual_reduce(
     ``intr_params = [cx, cy, fx, fy, skew]``.  Candidate arrays of any length
     are padded to a multiple of TILE (padding has ``valid`` False).
 
-    Contract: ``image`` values must be exactly representable in bf16 (u8
-    pyramid levels are) — the in-kernel row gathers run as exact bf16 0/1
-    one-hot matmuls.
+    u8/i8 and bf16 images take the exact bf16 one-hot gather path; all other
+    dtypes (f32, wide integers) stay f32 through a Precision.HIGHEST matmul
+    so no caller silently loses precision.
     """
+    exact_bf16 = (
+        jnp.issubdtype(image.dtype, jnp.integer) and image.dtype.itemsize == 1
+    ) or image.dtype == jnp.bfloat16
     n = xs.shape[0]
     if n % TILE != 0:
         pad = TILE - n % TILE
@@ -175,7 +189,7 @@ def fused_residual_reduce(
         return pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, exact_bf16=exact_bf16),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, _N_PARAMS), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -198,7 +212,7 @@ def fused_residual_reduce(
         tmpl_vals.astype(Float).reshape(n, 1),
         valid.astype(Float).reshape(n, 1),
         jac_padded,
-        image.astype(jnp.bfloat16),
+        image.astype(jnp.bfloat16) if exact_bf16 else image.astype(Float),
     )
     m = out[:6, :7]
     rsq = out[6, 6]
