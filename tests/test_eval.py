@@ -57,3 +57,39 @@ def test_rpe():
     traj = _traj(10, seed=4)
     t_err, r_err = ate.rpe_rmse(traj, traj)
     assert t_err < 1e-6 and r_err < 1e-3
+
+
+def test_vors_eval_cli(tmp_path, capsys):
+    """vors_eval: track a synthetic clip, write ground truth, evaluate."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.cli import vors_eval, vors_track
+    from visual_odometry_rs_tpu.dataset import synthetic, tum_rgbd
+
+    seq = synthetic.generate_sequence(nb_frames=5, height=48, width=64, seed=4)
+    assoc = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_track.main(["fr1", assoc, "--nb-levels", "3", "--candidate-cap", "256"])
+    assert rc == 0
+    traj = tmp_path / "traj.txt"
+    traj.write_text(buf.getvalue())
+    gt_path = tmp_path / "gt.txt"
+    lines = [
+        tum_rgbd.Frame(timestamp=float(seq.timestamps[i]), pose=seq.poses[i]).to_string()
+        for i in range(5)
+    ]
+    gt_path.write_text("# ground truth\n" + "\n".join(lines) + "\n")
+
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = vors_eval.main([str(gt_path), str(traj)])
+    assert rc == 0
+    result = json.loads(buf2.getvalue())
+    assert result["matched_frames"] == 4
+    assert 0.0 <= result["ate_rmse_m"] < 0.5
+    assert result["rpe_trans_rmse_m"] >= 0.0

@@ -1,0 +1,97 @@
+"""CLI: evaluate a TUM trajectory against ground truth (ATE / RPE).
+
+    python -m visual_odometry_rs_tpu.cli.vors_eval groundtruth.txt trajectory.txt
+
+The in-repo analog of the external evaluation repo the reference points to
+(mpizenberg/rgbd-tracking-evaluation, reference README.md:18-19): absolute
+trajectory error after Umeyama alignment, and relative pose error over
+``--delta``-frame intervals.  Prints one JSON line to stdout.
+
+Timestamps are matched greedily within ``--max-dt`` seconds (the standard
+TUM association rule), so the estimate need not cover every ground-truth
+frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+USAGE = "Usage: vors_eval groundtruth_file trajectory_file"
+
+
+def associate(gt, est, max_dt: float):
+    """Greedy timestamp matching (the TUM benchmark's associate.py rule)."""
+    pairs = []
+    used = set()
+    for i, f in enumerate(est):
+        best = None
+        best_dt = max_dt
+        for j, g in enumerate(gt):
+            if j in used:
+                continue
+            dt = abs(f.timestamp - g.timestamp)
+            if dt <= best_dt:
+                best = j
+                best_dt = dt
+        if best is not None:
+            used.add(best)
+            pairs.append((best, i))
+    pairs.sort()
+    return pairs
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(usage=USAGE)
+    parser.add_argument("groundtruth_file")
+    parser.add_argument("trajectory_file")
+    parser.add_argument("--delta", type=int, default=1, help="RPE frame interval")
+    parser.add_argument("--max-dt", type=float, default=0.02,
+                        help="max timestamp difference for matching (s)")
+    parser.add_argument("--scale", action="store_true",
+                        help="also estimate a similarity scale in the alignment")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # trivial math; skip TPU round trips
+
+    from ..dataset import tum_rgbd
+    from ..eval import ate as ate_mod
+
+    try:
+        with open(args.groundtruth_file) as f:
+            gt = tum_rgbd.parse_trajectory(f.read())
+        with open(args.trajectory_file) as f:
+            est = tum_rgbd.parse_trajectory(f.read())
+    except OSError as e:
+        print(USAGE, file=sys.stderr)
+        print(f"Cannot read inputs: {e}", file=sys.stderr)
+        return 1
+
+    pairs = associate(gt, est, args.max_dt)
+    if len(pairs) < 2:
+        print(f"only {len(pairs)} matched frames (max_dt={args.max_dt})", file=sys.stderr)
+        return 1
+    gt_m = [gt[j].pose for j, _ in pairs]
+    est_m = [est[i].pose for _, i in pairs]
+
+    ate = ate_mod.ate_rmse(est_m, gt_m, with_scale=args.scale)
+    rpe_t, rpe_r = ate_mod.rpe_rmse(est_m, gt_m, delta=args.delta)
+    print(
+        json.dumps(
+            {
+                "matched_frames": len(pairs),
+                "ate_rmse_m": round(ate, 6),
+                "rpe_trans_rmse_m": round(rpe_t, 6),
+                "rpe_rot_rmse_rad": round(rpe_r, 6),
+                "delta": args.delta,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
