@@ -45,6 +45,13 @@ def main(argv=None) -> int:
     parser.add_argument("--nb-levels", type=int, default=6)
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
+    parser.add_argument(
+        "--compilation-cache",
+        metavar="DIR",
+        help="persistent XLA compilation cache directory: the first run "
+        "compiles (~20-40 s on TPU), subsequent runs with the same config "
+        "start near-instantly",
+    )
     parser.add_argument("--chunk", type=int, default=8, metavar="N",
                         help="frames per fused device dispatch")
     parser.add_argument(
@@ -63,6 +70,11 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.compilation_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if args.cpu:
         import jax
 

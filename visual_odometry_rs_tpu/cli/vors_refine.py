@@ -33,6 +33,13 @@ def main(argv=None) -> int:
     parser.add_argument("--nb-levels", type=int, default=6,
                         help="pyramid depth for candidate selection")
     parser.add_argument("--candidate-cap", type=int, default=2048)
+    parser.add_argument(
+        "--compilation-cache",
+        metavar="DIR",
+        help="persistent XLA compilation cache directory: the first run "
+        "compiles (~20-40 s on TPU), subsequent runs with the same config "
+        "start near-instantly",
+    )
     parser.add_argument("--max-iterations", type=int, default=15)
     parser.add_argument("--idepth-prior-weight", type=float, default=1e4)
     parser.add_argument(
@@ -45,6 +52,11 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.compilation_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if args.cpu:
         import jax
 
