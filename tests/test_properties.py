@@ -117,3 +117,44 @@ def test_mean_pyramid_matches_numpy_reference(seed):
         # the reference's u8 mean: (a+b+c+d)/4 with truncation toward zero
         ref = (blk[:, 0, :, 0] + blk[:, 0, :, 1] + blk[:, 1, :, 0] + blk[:, 1, :, 1]) // 4
         np.testing.assert_array_equal(np.asarray(lvl), ref.astype(np.uint8))
+
+
+@COMMON
+@given(SEEDS)
+def test_trajectory_serialization_roundtrip(seed):
+    """TUM line format: serialize -> parse recovers timestamp and pose."""
+    from visual_odometry_rs_tpu.dataset import tum_rgbd
+
+    rng = np.random.default_rng(seed)
+    p = se3.exp(_rand_twist(seed, 1.0))
+    ts = float(np.round(rng.uniform(0, 2e9), 6))
+    line = tum_rgbd.Frame(timestamp=ts, pose=p).to_string()
+    back = tum_rgbd.parse_trajectory(line)[0]
+    assert back.timestamp == ts
+    np.testing.assert_allclose(np.asarray(back.pose.t), np.asarray(p.t), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.pose.q), np.asarray(p.q), rtol=1e-6)
+
+
+@COMMON
+@given(SEEDS)
+def test_associations_parse_ignores_comments_and_blanks(seed):
+    from visual_odometry_rs_tpu.dataset import tum_rgbd
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 6))
+    lines = ["# header comment"]
+    entries = []
+    for i in range(n):
+        dts = float(np.round(rng.uniform(0, 1e9), 6))
+        cts = float(np.round(rng.uniform(0, 1e9), 6))
+        entries.append((dts, cts))
+        lines.append(f"{dts:.6f} depth/{i}.png {cts:.6f} rgb/{i}.png")
+        if rng.random() < 0.5:
+            lines.append("")
+        if rng.random() < 0.3:
+            lines.append("# interleaved comment")
+    out = tum_rgbd.parse_associations("\n".join(lines))
+    assert len(out) == n
+    for a, (dts, cts) in zip(out, entries):
+        assert abs(a.depth_timestamp - dts) < 1e-9
+        assert abs(a.color_timestamp - cts) < 1e-9
