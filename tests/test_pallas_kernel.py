@@ -51,10 +51,10 @@ def test_kernel_matches_xla_eval(setup):
         scale_g = float(jnp.max(jnp.abs(g_ref))) + 1.0
         scale_h = float(jnp.max(jnp.abs(H_ref))) + 1.0
         np.testing.assert_allclose(
-            np.asarray(m[:, 6]) / scale_g, np.asarray(g_ref) / scale_g, rtol=1e-4, atol=3e-6
+            np.asarray(m[:, 6]) / scale_g, np.asarray(g_ref) / scale_g, rtol=1e-4, atol=1e-5
         )
         np.testing.assert_allclose(
-            np.asarray(m[:, :6]) / scale_h, np.asarray(H_ref) / scale_h, rtol=1e-4, atol=3e-6
+            np.asarray(m[:, :6]) / scale_h, np.asarray(H_ref) / scale_h, rtol=1e-4, atol=1e-5
         )
 
 

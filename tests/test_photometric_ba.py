@@ -173,3 +173,27 @@ def test_window_sharded_matches_single(window_setup):
         np.asarray(got.idepth), np.asarray(ref.idepth), atol=1e-4
     )
     np.testing.assert_allclose(float(got.energy), float(ref.energy), rtol=1e-3)
+
+
+def test_window_robust_under_occlusion(window_setup):
+    """Huber weighting (robust_delta) keeps the window solve near ground
+    truth when later frames carry an occluder block that drags the L2
+    solve."""
+    seq, config, kf, images, gt_poses = window_setup
+    occluded = np.asarray(images).copy()
+    rng = np.random.default_rng(0)
+    # textured occluder: constant blocks have zero gradient and cannot drag
+    # GN, so give the outlier region structure
+    patch = rng.integers(0, 256, size=(40, 60)).astype(np.float32)
+    occluded[1:, 40:80, 50:110] = patch[None]
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, jnp.asarray(occluded),
+        _perturbed(gt_poses, 2e-3, seed=3),
+    )
+    l2 = jax.jit(lambda w: photometric_ba.solve_window(w, max_iterations=15))(win)
+    huber = jax.jit(
+        lambda w: photometric_ba.solve_window(w, max_iterations=15, robust_delta=10.0)
+    )(win)
+    err_l2 = np.abs(np.asarray(l2.poses.t) - np.asarray(gt_poses.t)).max()
+    err_hub = np.abs(np.asarray(huber.poses.t) - np.asarray(gt_poses.t)).max()
+    assert err_hub < err_l2, (err_l2, err_hub)

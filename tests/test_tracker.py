@@ -217,3 +217,27 @@ def test_brightness_model_under_exposure_drift(seq):
     ate_bright = run(True)
     assert ate_bright < ate_plain * 0.5, (ate_plain, ate_bright)
     assert ate_bright < 2e-3, ate_bright
+
+
+def test_candidate_truncation_is_spatially_stratified(seq):
+    """When candidates exceed the cap, the kept subset must span the image
+    instead of silently keeping only the top rows (row-major truncation
+    bias)."""
+    h, w = seq.grays[0].shape
+    config = tracker_mod.TrackerConfig(
+        height=h, width=w, nb_levels=3, candidates_diff_threshold=0,
+        candidate_cap=512,  # force overflow: threshold 0 selects densely
+    )
+    import jax
+
+    pyr = [jnp.asarray(seq.grays[0])]
+    from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+
+    pyr = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(seq.grays[0]))
+    kf = jax.jit(
+        lambda d, p: tracker_mod.precompute_keyframe(config, seq.intrinsics, d, p)
+    )(jnp.asarray(seq.depths[0]), pyr)
+    lvl0 = kf.levels[0]
+    assert int(lvl0.valid.sum()) == 512  # overflow occurred
+    ys = np.asarray(lvl0.ys)[np.asarray(lvl0.valid)]
+    assert ys.min() < h * 0.25 and ys.max() > h * 0.75, (ys.min(), ys.max())

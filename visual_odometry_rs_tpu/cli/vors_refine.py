@@ -41,6 +41,10 @@ def main(argv=None) -> int:
         "start near-instantly",
     )
     parser.add_argument("--max-iterations", type=int, default=15)
+    parser.add_argument(
+        "--robust-delta", type=float, default=0.0,
+        help="Huber robust weighting threshold in intensity units (0 = L2)",
+    )
     parser.add_argument("--idepth-prior-weight", type=float, default=1e4)
     parser.add_argument(
         "--energy-tol", type=float, default=1.0,
@@ -113,6 +117,7 @@ def main(argv=None) -> int:
             max_iterations=args.max_iterations,
             idepth_prior_weight=args.idepth_prior_weight,
             energy_tol=args.energy_tol,
+            robust_delta=args.robust_delta,
         )
     )
 

@@ -104,8 +104,12 @@ def _frame_residuals(win: Window, pose_f: Pose, image_f, idepth, method: str):
     return jax.vmap(full)(win.tmpl_xs, win.tmpl_ys, idepth, win.tmpl_vals)
 
 
-def _build(win: Window, poses: Pose, idepth, method: str):
-    """(F, N) residuals/Jacobians/masks for the whole window."""
+def _build(win: Window, poses: Pose, idepth, method: str, robust_delta: float = 0.0):
+    """(F, N) residuals/Jacobians/masks for the whole window.
+
+    ``robust_delta > 0``: Huber IRLS — the weight multiplies the mask, so
+    residuals, Jacobians, and the energy are all consistently downweighted
+    (same device as the tracker's ``robust_delta``)."""
 
     def per_frame(q, t, image_f):
         return _frame_residuals(win, Pose(q, t), image_f, idepth, method)
@@ -113,16 +117,24 @@ def _build(win: Window, poses: Pose, idepth, method: str):
     r, inside, j_xi, j_d = jax.vmap(per_frame)(poses.q, poses.t, win.images)
     mask = inside & win.valid[None, :]
     maskf = mask.astype(Float)
+    if robust_delta > 0.0:
+        absr = jnp.abs(r)
+        w = jnp.where(
+            absr <= robust_delta, 1.0, robust_delta / jnp.maximum(absr, 1e-12)
+        )
+        # sqrt(w) on residuals AND Jacobians puts exactly one power of w in
+        # every normal-equation product (JᵀWJ, JᵀWr, Σw r²)
+        maskf = maskf * jnp.sqrt(w)
     r = r * maskf
     j_xi = j_xi * maskf[..., None]
     j_d = j_d * maskf
     return r, maskf, j_xi, j_d
 
 
-def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str):
+def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str, robust_delta: float = 0.0):
     """One damped Schur-reduced Gauss-Newton step; returns deltas + energy."""
     F = poses.q.shape[0]
-    r, maskf, j_xi, j_d = _build(win, poses, idepth, method)
+    r, maskf, j_xi, j_d = _build(win, poses, idepth, method, robust_delta)
 
     # camera diagonal blocks A_f = sum_i J_xi^T J_xi  (F, 6, 6)
     A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
@@ -168,9 +180,10 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str):
     return d_cam, d_depth
 
 
-def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str):
+def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
+            robust_delta: float = 0.0):
     """(total energy, number of contributing pairs)."""
-    r, maskf, _, _ = _build(win, poses, idepth, method)
+    r, maskf, _, _ = _build(win, poses, idepth, method, robust_delta)
     validf = win.valid.astype(Float)
     prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
     return jnp.sum(r * r) + prior, jnp.sum(maskf)
@@ -184,6 +197,7 @@ def solve_window(
     idepth_prior_weight: float = 1e4,
     energy_tol: float = 0.01,
     interp_method: str = "gather",
+    robust_delta: float = 0.0,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
 
@@ -214,9 +228,9 @@ def solve_window(
 
     def body(carry):
         poses, idepth, energy, lm, it, done = carry
-        d_cam, d_depth = _gn_step(win, poses, idepth, lm, w_prior, interp_method)
+        d_cam, d_depth = _gn_step(win, poses, idepth, lm, w_prior, interp_method, robust_delta)
         new_poses, new_idepth = apply(poses, idepth, d_cam, d_depth)
-        new_energy, n_pairs = _energy(win, new_poses, new_idepth, w_prior, interp_method)
+        new_energy, n_pairs = _energy(win, new_poses, new_idepth, w_prior, interp_method, robust_delta)
         ok = (
             jnp.isfinite(new_energy)
             & (new_energy <= energy)
@@ -237,7 +251,7 @@ def solve_window(
         energy = jnp.where(ok, new_energy, energy)
         return poses, idepth, energy, lm, it + 1, done
 
-    energy0, _ = _energy(win, win.poses, win.idepth, w_prior, interp_method)
+    energy0, _ = _energy(win, win.poses, win.idepth, w_prior, interp_method, robust_delta)
     poses, idepth, energy, _, it, _ = jax.lax.while_loop(
         lambda c: ~c[-1],
         body,
@@ -259,6 +273,7 @@ def solve_window_sharded(
     idepth_prior_weight: float = 1e4,
     energy_tol: float = 0.01,
     interp_method: str = "gather",
+    robust_delta: float = 0.0,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
@@ -278,11 +293,11 @@ def solve_window_sharded(
         F = win_local.poses.q.shape[0]
 
         def energy_of(poses, idepth):
-            e, n = _energy(win_local, poses, idepth, w_prior, interp_method)
+            e, n = _energy(win_local, poses, idepth, w_prior, interp_method, robust_delta)
             return _jax.lax.psum(e, axis), _jax.lax.psum(n, axis)
 
         def gn(poses, idepth, lm):
-            r, maskf, j_xi, j_d = _build(win_local, poses, idepth, interp_method)
+            r, maskf, j_xi, j_d = _build(win_local, poses, idepth, interp_method, robust_delta)
             A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
             b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)
             validf = win_local.valid.astype(Float)

@@ -164,21 +164,31 @@ def _extract_candidates(
     """Compact the known-idepth pixels of a level into fixed-size arrays.
 
     The TPU replacement for the reference's Vec compaction ``extract_z``
-    (inverse_compositional.rs:260-279): ``lax.top_k`` over flat-index keys
-    (known pixels keyed ``-index``, unknown sentinel) — descending top-k of
-    negated indices yields the known coordinates in ascending row-major
-    order with a validity mask.  Measured ~2.5x faster than
+    (inverse_compositional.rs:260-279): ``lax.top_k`` over per-pixel keys
+    with an unknown-pixel sentinel — measured ~2.5x faster than
     ``jnp.nonzero(size=cap)`` inside the jitted keyframe precompute on TPU
-    v5e, with identical outputs.  (Ordering is row-major; the reference is
-    column-major — ordering only permutes the masked reductions.)
+    v5e.  Valid candidates are compacted to the FRONT (bucketing relies on
+    this).  Keys are the bit-reversed flat index, so when more candidates
+    exist than ``cap`` the truncation drops a spatially-stratified subset —
+    keying by raw row-major index would silently keep only the TOP rows of
+    the image.  (The reference never truncates; ordering is a fixed
+    permutation and only reassociates the masked f32 reductions.)
     """
     h, w = idmap.state.shape
     hw = h * w
+    nbits = max(1, (hw - 1).bit_length())
     flat_known = idmap.known.reshape(-1)
     iota = jax.lax.iota(jnp.int32, hw)
-    keys = jnp.where(flat_known, -iota, -hw - 1)
-    vals, idxs = jax.lax.top_k(keys, cap)
-    valid = vals > (-hw - 1)
+    # bit-reversal permutation (bijective on [0, 2^nbits)): spatial stride
+    rev = jnp.zeros_like(iota)
+    x = iota
+    for _ in range(nbits):
+        rev = (rev << 1) | (x & 1)
+        x = x >> 1
+    sentinel = -(1 << nbits) - 1
+    keys = jnp.where(flat_known, -rev, sentinel)
+    _, idxs = jax.lax.top_k(keys, cap)
+    valid = flat_known[idxs]
     idxs = jnp.where(valid, idxs, 0)
     ys = jax.lax.div(idxs, jnp.int32(w))
     xs = jax.lax.rem(idxs, jnp.int32(w))
