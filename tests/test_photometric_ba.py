@@ -197,3 +197,29 @@ def test_window_robust_under_occlusion(window_setup):
     err_l2 = np.abs(np.asarray(l2.poses.t) - np.asarray(gt_poses.t)).max()
     err_hub = np.abs(np.asarray(huber.poses.t) - np.asarray(gt_poses.t)).max()
     assert err_hub < err_l2, (err_l2, err_hub)
+
+
+def test_window_brightness_under_exposure_drift(window_setup):
+    """brightness=True recovers per-frame gain/bias: an exposure-drifting
+    window breaks the plain solve but not the 8-parameter one."""
+    seq, config, kf, images, gt_poses = window_setup
+    drifted = np.asarray(images).copy()
+    gains = [1.0, 1.2, 0.85, 1.15]
+    biases = [0.0, 12.0, -10.0, 8.0]
+    for f in range(1, drifted.shape[0]):
+        drifted[f] = np.clip(gains[f] * drifted[f] + biases[f], 0, 255)
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, jnp.asarray(drifted),
+        _perturbed(gt_poses, 2e-3, seed=5),
+    )
+    plain = jax.jit(lambda w: photometric_ba.solve_window(w, max_iterations=15))(win)
+    bright = jax.jit(
+        lambda w: photometric_ba.solve_window(w, max_iterations=15, brightness=True)
+    )(win)
+    err_plain = np.abs(np.asarray(plain.poses.t) - np.asarray(gt_poses.t)).max()
+    err_bright = np.abs(np.asarray(bright.poses.t) - np.asarray(gt_poses.t)).max()
+    assert err_bright < err_plain, (err_plain, err_bright)
+    # recovered gains/biases track the injected drift
+    ab = np.asarray(bright.ab)
+    np.testing.assert_allclose(ab[1:, 0], gains[1:], atol=0.1)
+    np.testing.assert_allclose(ab[1:, 1], biases[1:], atol=12.0)

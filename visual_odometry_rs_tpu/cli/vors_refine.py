@@ -45,6 +45,10 @@ def main(argv=None) -> int:
         "--robust-delta", type=float, default=0.0,
         help="Huber robust weighting threshold in intensity units (0 = L2)",
     )
+    parser.add_argument(
+        "--brightness-model", action="store_true",
+        help="estimate per-frame affine brightness (gain/bias) in each window",
+    )
     parser.add_argument("--idepth-prior-weight", type=float, default=1e4)
     parser.add_argument(
         "--energy-tol", type=float, default=1.0,
@@ -118,6 +122,7 @@ def main(argv=None) -> int:
             idepth_prior_weight=args.idepth_prior_weight,
             energy_tol=args.energy_tol,
             robust_delta=args.robust_delta,
+            brightness=args.brightness_model,
         )
     )
 

@@ -72,6 +72,9 @@ class WindowResult(NamedTuple):
     idepth: jnp.ndarray
     energy: jnp.ndarray
     nb_iter: jnp.ndarray
+    # per-frame affine brightness (F, 2) = (gain, bias); identity rows
+    # (1, 0) when the solve ran without ``brightness=True``
+    ab: jnp.ndarray
 
 
 def _pair_residual(win: Window, pose_f: Pose, image_f, xi, d_i, x, y, method: str):
@@ -83,12 +86,20 @@ def _pair_residual(win: Window, pose_f: Pose, image_f, xi, d_i, x, y, method: st
     return vals[0], inside[0]
 
 
-def _frame_residuals(win: Window, pose_f: Pose, image_f, idepth, method: str):
-    """All candidates against one frame: residuals + (7,) Jacobians.
+def _frame_residuals(
+    win: Window, pose_f: Pose, image_f, idepth, ab_f, method: str,
+    brightness: bool,
+):
+    """All candidates against one frame: residuals + per-frame Jacobians.
 
-    Jacobian columns: 6 twist (right-multiplied at pose_f) + 1 inverse depth.
+    Camera-block Jacobian columns: 6 twist (right-multiplied at pose_f), and
+    with ``brightness`` two more for the frame's (gain, bias) — the residual
+    ``I_f - (a T + b)`` is exactly linear in (a, b), so those columns are
+    the analytic ``(-T, -1)``.  The depth Jacobian stays separate (it is the
+    Schur-eliminated block).
     """
     zero_xi = jnp.zeros((6,), Float)
+    a_f, b_f = ab_f[0], ab_f[1]
 
     def val_fn(x, y, d, xi, dd):
         val, _ = _pair_residual(win, pose_f, image_f, xi, d + dd, x, y, method)
@@ -98,23 +109,34 @@ def _frame_residuals(win: Window, pose_f: Pose, image_f, idepth, method: str):
         val, inside = _pair_residual(win, pose_f, image_f, zero_xi, d, x, y, method)
         jac_xi = jax.jacfwd(lambda xi: val_fn(x, y, d, xi, 0.0))(zero_xi)  # (6,)
         jac_d = jax.jacfwd(lambda dd: val_fn(x, y, d, zero_xi, dd))(jnp.asarray(0.0, Float))
-        r = val - tmpl
-        return r, inside, jac_xi, jac_d
+        r = val - (a_f * tmpl + b_f)
+        if brightness:
+            jac_cam = jnp.concatenate([jac_xi, jnp.stack([-tmpl, -jnp.ones_like(tmpl)])])
+        else:
+            jac_cam = jac_xi
+        return r, inside, jac_cam, jac_d
 
     return jax.vmap(full)(win.tmpl_xs, win.tmpl_ys, idepth, win.tmpl_vals)
 
 
-def _build(win: Window, poses: Pose, idepth, method: str, robust_delta: float = 0.0):
+def _build(
+    win: Window, poses: Pose, idepth, method: str, robust_delta: float = 0.0,
+    ab=None, brightness: bool = False,
+):
     """(F, N) residuals/Jacobians/masks for the whole window.
 
     ``robust_delta > 0``: Huber IRLS — the weight multiplies the mask, so
     residuals, Jacobians, and the energy are all consistently downweighted
     (same device as the tracker's ``robust_delta``)."""
+    if ab is None:
+        ab = jnp.tile(jnp.array([1.0, 0.0], Float), (poses.q.shape[0], 1))
 
-    def per_frame(q, t, image_f):
-        return _frame_residuals(win, Pose(q, t), image_f, idepth, method)
+    def per_frame(q, t, image_f, ab_f):
+        return _frame_residuals(
+            win, Pose(q, t), image_f, idepth, ab_f, method, brightness
+        )
 
-    r, inside, j_xi, j_d = jax.vmap(per_frame)(poses.q, poses.t, win.images)
+    r, inside, j_xi, j_d = jax.vmap(per_frame)(poses.q, poses.t, win.images, ab)
     mask = inside & win.valid[None, :]
     maskf = mask.astype(Float)
     if robust_delta > 0.0:
@@ -131,10 +153,18 @@ def _build(win: Window, poses: Pose, idepth, method: str, robust_delta: float = 
     return r, maskf, j_xi, j_d
 
 
-def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str, robust_delta: float = 0.0):
-    """One damped Schur-reduced Gauss-Newton step; returns deltas + energy."""
+def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
+             robust_delta: float = 0.0, ab=None, brightness: bool = False):
+    """One damped Schur-reduced Gauss-Newton step; returns deltas.
+
+    The camera block has P = 6 parameters per frame (twist), or 8 with
+    ``brightness`` (+ per-frame gain/bias, exactly linear).
+    """
     F = poses.q.shape[0]
-    r, maskf, j_xi, j_d = _build(win, poses, idepth, method, robust_delta)
+    r, maskf, j_xi, j_d = _build(
+        win, poses, idepth, method, robust_delta, ab=ab, brightness=brightness
+    )
+    P = j_xi.shape[-1]
 
     # camera diagonal blocks A_f = sum_i J_xi^T J_xi  (F, 6, 6)
     A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
@@ -150,29 +180,29 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str, ro
     # coupling E[f, i, a] = j_xi[f,i,a] * j_d[f,i]
     E = j_xi * j_d[..., None]  # (F, N, 6)
 
-    eye6 = jnp.eye(6, dtype=Float)
-    A_damped = A * (1.0 + lm * eye6)
+    eyeP = jnp.eye(P, dtype=Float)
+    A_damped = A * (1.0 + lm * eyeP)
     D_damped = D * (1.0 + lm) + 1e-10
 
     D_inv = 1.0 / D_damped  # (N,)
     # Schur: S[f,a,g,b] = A_damped diag - sum_i E[f,i,a] D_inv[i] E[g,i,b]
     S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
-    S = jnp.zeros((F, 6, F, 6), Float)
+    S = jnp.zeros((F, P, F, P), Float)
     S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
     S = S - S_fill
     rhs = b_cam - jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
 
-    # gauge-fix frame 0 (keyframe): delta_0 = 0
-    n = 6 * F
+    # gauge-fix frame 0 (keyframe): delta_0 = 0 (pose AND brightness)
+    n = P * F
     S2 = S.reshape(n, n)
     rhs2 = rhs.reshape(n)
     idx = jnp.arange(n)
-    free = idx >= 6
+    free = idx >= P
     mask2d = free[:, None] & free[None, :]
     S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
     rhs2 = jnp.where(free, rhs2, 0.0)
     chol = jnp.linalg.cholesky(S2)
-    d_cam = jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, 6)
+    d_cam = jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, P)
 
     # back-substitute depths: d_d = D^-1 (b_d - E^T d_cam)
     Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
@@ -181,9 +211,9 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str, ro
 
 
 def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
-            robust_delta: float = 0.0):
+            robust_delta: float = 0.0, ab=None):
     """(total energy, number of contributing pairs)."""
-    r, maskf, _, _ = _build(win, poses, idepth, method, robust_delta)
+    r, maskf, _, _ = _build(win, poses, idepth, method, robust_delta, ab=ab)
     validf = win.valid.astype(Float)
     prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
     return jnp.sum(r * r) + prior, jnp.sum(maskf)
@@ -198,8 +228,13 @@ def solve_window(
     energy_tol: float = 0.01,
     interp_method: str = "gather",
     robust_delta: float = 0.0,
+    brightness: bool = False,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
+
+    ``brightness=True`` adds a per-frame affine brightness pair (gain, bias)
+    to each camera block (8 parameters/frame) — the DSO device for
+    auto-exposure cameras; frame 0's pair is gauge-fixed at (1, 0).
 
     Accept/reject semantics follow the tracker's LM (lm_optimizer.rs:
     144-174): a step is kept only when the energy does not increase and all
@@ -216,31 +251,40 @@ def solve_window(
     resampling noise rather than signal.
     """
 
-    def apply(poses, idepth, d_cam, d_depth):
+    def apply(poses, ab, idepth, d_cam, d_depth):
         new_poses = jax.vmap(lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi)))(
-            poses.q, poses.t, d_cam
+            poses.q, poses.t, d_cam[:, :6]
         )
         new_poses = pose_mod.renormalize_first_order(Pose(new_poses.q, new_poses.t))
+        new_ab = ab + d_cam[:, 6:8] if brightness else ab
         new_idepth = jnp.maximum(idepth + d_depth, 1e-6)  # idepth must stay +
-        return new_poses, new_idepth
+        return new_poses, new_ab, new_idepth
 
     w_prior = jnp.asarray(idepth_prior_weight, Float)
 
     def body(carry):
-        poses, idepth, energy, lm, it, done = carry
-        d_cam, d_depth = _gn_step(win, poses, idepth, lm, w_prior, interp_method, robust_delta)
-        new_poses, new_idepth = apply(poses, idepth, d_cam, d_depth)
-        new_energy, n_pairs = _energy(win, new_poses, new_idepth, w_prior, interp_method, robust_delta)
+        poses, ab, idepth, energy, lm, it, done = carry
+        d_cam, d_depth = _gn_step(
+            win, poses, idepth, lm, w_prior, interp_method, robust_delta,
+            ab=ab, brightness=brightness,
+        )
+        new_poses, new_ab, new_idepth = apply(poses, ab, idepth, d_cam, d_depth)
+        new_energy, n_pairs = _energy(
+            win, new_poses, new_idepth, w_prior, interp_method, robust_delta,
+            ab=new_ab,
+        )
         ok = (
             jnp.isfinite(new_energy)
             & (new_energy <= energy)
             & jnp.all(jnp.isfinite(new_poses.q))
             & jnp.all(jnp.isfinite(new_poses.t))
+            & jnp.all(jnp.isfinite(new_ab))
             & jnp.all(jnp.isfinite(new_idepth))
         )
         poses = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_poses, poses
         )
+        ab = jnp.where(ok, new_ab, ab)
         idepth = jnp.where(ok, new_idepth, idepth)
         lm = jnp.where(ok, lm * 0.3, lm * 10.0)
         d_energy = energy - new_energy
@@ -249,18 +293,21 @@ def solve_window(
             jnp.logical_and(ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)),
         )
         energy = jnp.where(ok, new_energy, energy)
-        return poses, idepth, energy, lm, it + 1, done
+        return poses, ab, idepth, energy, lm, it + 1, done
 
-    energy0, _ = _energy(win, win.poses, win.idepth, w_prior, interp_method, robust_delta)
-    poses, idepth, energy, _, it, _ = jax.lax.while_loop(
+    ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (win.poses.q.shape[0], 1))
+    energy0, _ = _energy(
+        win, win.poses, win.idepth, w_prior, interp_method, robust_delta, ab=ab0
+    )
+    poses, ab, idepth, energy, _, it, _ = jax.lax.while_loop(
         lambda c: ~c[-1],
         body,
         (
-            win.poses, win.idepth, energy0,
+            win.poses, ab0, win.idepth, energy0,
             jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
         ),
     )
-    return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it)
+    return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab)
 
 
 def solve_window_sharded(
@@ -386,7 +433,10 @@ def solve_window_sharded(
                 jnp.asarray(False),
             ),
         )
-        return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it)
+        ab_id = jnp.tile(jnp.array([1.0, 0.0], Float), (poses.q.shape[0], 1))
+        return WindowResult(
+            poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab_id
+        )
 
     spec = Window(
         tmpl_xs=P_(axis),
@@ -399,7 +449,8 @@ def solve_window_sharded(
         intrinsics=jax.tree_util.tree_map(lambda _: P_(), win.intrinsics),
     )
     out_spec = WindowResult(
-        poses=Pose(q=P_(), t=P_()), idepth=P_(axis), energy=P_(), nb_iter=P_()
+        poses=Pose(q=P_(), t=P_()), idepth=P_(axis), energy=P_(), nb_iter=P_(),
+        ab=P_(),
     )
     fn = jax.shard_map(sharded, mesh=mesh, in_specs=(spec,), out_specs=out_spec)
     return fn(win)
