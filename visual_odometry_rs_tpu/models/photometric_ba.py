@@ -324,7 +324,9 @@ def solve_window_sharded(
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
-    Same SPMD shape as ``parallel.ba.solve_point_sharded``: every chip
+    Brightness estimation is not plumbed through this variant yet (the
+    returned ``ab`` is identity); use ``solve_window`` for exposure-drifting
+    windows.  Same SPMD shape as ``parallel.ba.solve_point_sharded``: every chip
     evaluates residuals/Jacobians and eliminates the scalar depth blocks for
     its own N/n candidates against the replicated window images; one
     ``psum`` of the (6F, 6F+1) camera system per iteration rides the ICI;
