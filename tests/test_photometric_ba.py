@@ -223,3 +223,27 @@ def test_window_brightness_under_exposure_drift(window_setup):
     ab = np.asarray(bright.ab)
     np.testing.assert_allclose(ab[1:, 0], gains[1:], atol=0.1)
     np.testing.assert_allclose(ab[1:, 1], biases[1:], atol=12.0)
+
+
+def test_window_sharded_brightness_matches_single(window_setup):
+    """Sharded brightness solve matches the single-device brightness solve
+    on a drifted window."""
+    from visual_odometry_rs_tpu.parallel import mesh as mesh_mod
+
+    seq, config, kf, images, gt_poses = window_setup
+    drifted = np.asarray(images).copy()
+    for f, (g, b) in enumerate(zip([1.0, 1.2, 0.85, 1.15], [0.0, 12.0, -10.0, 8.0])):
+        drifted[f] = np.clip(g * drifted[f] + b, 0, 255)
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, jnp.asarray(drifted),
+        _perturbed(gt_poses, 2e-3, seed=6),
+    )
+    ref = jax.jit(
+        lambda w: photometric_ba.solve_window(w, max_iterations=8, brightness=True)
+    )(win)
+    mesh = mesh_mod.make_mesh((8,), ("points",))
+    got = photometric_ba.solve_window_sharded(
+        win, mesh, max_iterations=8, brightness=True
+    )
+    np.testing.assert_allclose(np.asarray(got.poses.t), np.asarray(ref.poses.t), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.ab), np.asarray(ref.ab), atol=1e-2)

@@ -241,3 +241,23 @@ def test_candidate_truncation_is_spatially_stratified(seq):
     assert int(lvl0.valid.sum()) == 512  # overflow occurred
     ys = np.asarray(lvl0.ys)[np.asarray(lvl0.valid)]
     assert ys.min() < h * 0.25 and ys.max() > h * 0.75, (ys.min(), ys.max())
+
+
+def test_tracks_odd_sized_images():
+    """Odd dimensions: the reference drops the last row/col when halving
+    (multires.rs:65,73-75); the whole pipeline must track a 47x63 stream."""
+    from visual_odometry_rs_tpu.eval import ate
+
+    seq = synthetic.generate_sequence(nb_frames=4, height=47, width=63, seed=6)
+    config = tracker_mod.TrackerConfig(height=47, width=63, nb_levels=3, candidate_cap=512)
+    trk = tracker_mod.init_tracker(
+        config, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]),
+        0.0, jnp.asarray(seq.grays[0]),
+    )
+    est = [pose_mod.identity()]
+    for f in range(1, 4):
+        trk.track(float(f), jnp.asarray(seq.depths[f]), float(f), jnp.asarray(seq.grays[f]))
+        est.append(trk.current_frame()[1])
+    assert not trk.last_failed
+    err = ate.ate_rmse(est, seq.poses)
+    assert err < 1e-2, err

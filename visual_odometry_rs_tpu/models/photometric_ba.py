@@ -321,12 +321,11 @@ def solve_window_sharded(
     energy_tol: float = 0.01,
     interp_method: str = "gather",
     robust_delta: float = 0.0,
+    brightness: bool = False,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
-    Brightness estimation is not plumbed through this variant yet (the
-    returned ``ab`` is identity); use ``solve_window`` for exposure-drifting
-    windows.  Same SPMD shape as ``parallel.ba.solve_point_sharded``: every chip
+    Same SPMD shape as ``parallel.ba.solve_point_sharded``: every chip
     evaluates residuals/Jacobians and eliminates the scalar depth blocks for
     its own N/n candidates against the replicated window images; one
     ``psum`` of the (6F, 6F+1) camera system per iteration rides the ICI;
@@ -341,12 +340,19 @@ def solve_window_sharded(
     def sharded(win_local: Window) -> WindowResult:
         F = win_local.poses.q.shape[0]
 
-        def energy_of(poses, idepth):
-            e, n = _energy(win_local, poses, idepth, w_prior, interp_method, robust_delta)
+        def energy_of(poses, ab, idepth):
+            e, n = _energy(
+                win_local, poses, idepth, w_prior, interp_method, robust_delta,
+                ab=ab,
+            )
             return _jax.lax.psum(e, axis), _jax.lax.psum(n, axis)
 
-        def gn(poses, idepth, lm):
-            r, maskf, j_xi, j_d = _build(win_local, poses, idepth, interp_method, robust_delta)
+        def gn(poses, ab, idepth, lm):
+            r, maskf, j_xi, j_d = _build(
+                win_local, poses, idepth, interp_method, robust_delta,
+                ab=ab, brightness=brightness,
+            )
+            P = j_xi.shape[-1]
             A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
             b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)
             validf = win_local.valid.astype(Float)
@@ -355,8 +361,8 @@ def solve_window_sharded(
                 win_local.idepth - idepth
             )
             E = j_xi * j_d[..., None]
-            eye6 = jnp.eye(6, dtype=Float)
-            A_damped = A * (1.0 + lm * eye6)
+            eyeP = jnp.eye(P, dtype=Float)
+            A_damped = A * (1.0 + lm * eyeP)
             D_damped = D * (1.0 + lm) + 1e-10
             D_inv = 1.0 / D_damped
             S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
@@ -365,38 +371,39 @@ def solve_window_sharded(
             A_damped, b_cam, S_fill, rhs_fill = _jax.lax.psum(
                 (A_damped, b_cam, S_fill, rhs_fill), axis
             )
-            S = jnp.zeros((F, 6, F, 6), Float)
+            S = jnp.zeros((F, P, F, P), Float)
             S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
             S = S - S_fill
             rhs = b_cam - rhs_fill
-            n = 6 * F
+            n = P * F
             S2 = S.reshape(n, n)
             rhs2 = rhs.reshape(n)
             idx = jnp.arange(n)
-            free = idx >= 6
+            free = idx >= P
             mask2d = free[:, None] & free[None, :]
             S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
             rhs2 = jnp.where(free, rhs2, 0.0)
             chol = jnp.linalg.cholesky(S2)
-            d_cam = _jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, 6)
+            d_cam = _jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, P)
             Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
             d_depth = D_inv * (b_d - Et_dc)
             return d_cam, d_depth
 
-        def apply(poses, idepth, d_cam, d_depth):
+        def apply(poses, ab, idepth, d_cam, d_depth):
             new_poses = _jax.vmap(
                 lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
-            )(poses.q, poses.t, d_cam)
+            )(poses.q, poses.t, d_cam[:, :6])
             new_poses = pose_mod.renormalize_first_order(
                 Pose(new_poses.q, new_poses.t)
             )
-            return new_poses, jnp.maximum(idepth + d_depth, 1e-6)
+            new_ab = ab + d_cam[:, 6:8] if brightness else ab
+            return new_poses, new_ab, jnp.maximum(idepth + d_depth, 1e-6)
 
         def body(carry):
-            poses, idepth, energy, lm, it, done = carry
-            d_cam, d_depth = gn(poses, idepth, lm)
-            new_poses, new_idepth = apply(poses, idepth, d_cam, d_depth)
-            new_energy, n_pairs = energy_of(new_poses, new_idepth)
+            poses, ab, idepth, energy, lm, it, done = carry
+            d_cam, d_depth = gn(poses, ab, idepth, lm)
+            new_poses, new_ab, new_idepth = apply(poses, ab, idepth, d_cam, d_depth)
+            new_energy, n_pairs = energy_of(new_poses, new_ab, new_idepth)
             # the depth-finiteness vote must be GLOBAL: a shard-local `ok`
             # would let shards accept/reject independently and silently
             # diverge the replicated poses
@@ -408,11 +415,13 @@ def solve_window_sharded(
                 & (new_energy <= energy)
                 & jnp.all(jnp.isfinite(new_poses.q))
                 & jnp.all(jnp.isfinite(new_poses.t))
+                & jnp.all(jnp.isfinite(new_ab))
                 & (bad_depth == 0)
             )
             poses = _jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), new_poses, poses
             )
+            ab = jnp.where(ok, new_ab, ab)
             idepth = jnp.where(ok, new_idepth, idepth)
             lm = jnp.where(ok, lm * 0.3, lm * 10.0)
             d_energy = energy - new_energy
@@ -423,21 +432,21 @@ def solve_window_sharded(
                 ),
             )
             energy = jnp.where(ok, new_energy, energy)
-            return poses, idepth, energy, lm, it + 1, done
+            return poses, ab, idepth, energy, lm, it + 1, done
 
-        energy0, _ = energy_of(win_local.poses, win_local.idepth)
-        poses, idepth, energy, _, it, _ = _jax.lax.while_loop(
+        ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (F, 1))
+        energy0, _ = energy_of(win_local.poses, ab0, win_local.idepth)
+        poses, ab, idepth, energy, _, it, _ = _jax.lax.while_loop(
             lambda c: ~c[-1],
             body,
             (
-                win_local.poses, win_local.idepth, energy0,
+                win_local.poses, ab0, win_local.idepth, energy0,
                 jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
                 jnp.asarray(False),
             ),
         )
-        ab_id = jnp.tile(jnp.array([1.0, 0.0], Float), (poses.q.shape[0], 1))
         return WindowResult(
-            poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab_id
+            poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab
         )
 
     spec = Window(
