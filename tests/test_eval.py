@@ -93,3 +93,35 @@ def test_vors_eval_cli(tmp_path, capsys):
     assert result["matched_frames"] == 4
     assert 0.0 <= result["ate_rmse_m"] < 0.5
     assert result["rpe_trans_rmse_m"] >= 0.0
+
+
+def test_vors_eval_large_delta_yields_null_rpe(tmp_path, capsys):
+    """--delta >= matched frames: RPE fields must be null, output valid JSON."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from visual_odometry_rs_tpu.cli import vors_eval
+    from visual_odometry_rs_tpu.dataset import tum_rgbd
+    from visual_odometry_rs_tpu.math import pose as pose_mod
+
+    lines = "\n".join(
+        tum_rgbd.Frame(timestamp=float(i), pose=pose_mod.identity()).to_string()
+        for i in range(3)
+    )
+    gt = tmp_path / "gt.txt"; gt.write_text(lines + "\n")
+    tr = tmp_path / "tr.txt"; tr.write_text(lines + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_eval.main([str(gt), str(tr), "--delta", "5"])
+    assert rc == 0
+    result = json.loads(buf.getvalue())  # must be strict-JSON parseable
+    assert result["rpe_trans_rmse_m"] is None
+
+
+def test_vors_eval_malformed_trajectory_returns_error(tmp_path):
+    from visual_odometry_rs_tpu.cli import vors_eval
+
+    gt = tmp_path / "gt.txt"; gt.write_text("1.0 0 0 0 0 0 0 1\n")
+    tr = tmp_path / "tr.txt"; tr.write_text("1.0 0 0 0 0 0 1\n")  # 7 fields
+    assert vors_eval.main([str(gt), str(tr)]) == 1

@@ -230,7 +230,6 @@ def test_candidate_truncation_is_spatially_stratified(seq):
     )
     import jax
 
-    pyr = [jnp.asarray(seq.grays[0])]
     from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
 
     pyr = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(seq.grays[0]))

@@ -25,6 +25,8 @@ import argparse
 import os
 import sys
 
+from . import _common
+
 USAGE = "Usage: vors_batch [fr1|fr2|fr3|icl] associations_file... --out-dir DIR"
 
 
@@ -45,13 +47,7 @@ def main(argv=None) -> int:
     parser.add_argument("--nb-levels", type=int, default=6)
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
-    parser.add_argument(
-        "--compilation-cache",
-        metavar="DIR",
-        help="persistent XLA compilation cache directory: the first run "
-        "compiles (~20-40 s on TPU), subsequent runs with the same config "
-        "start near-instantly",
-    )
+    _common.add_compilation_cache_arg(parser)
     parser.add_argument("--chunk", type=int, default=8, metavar="N",
                         help="frames per fused device dispatch")
     parser.add_argument(
@@ -70,11 +66,7 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    if args.compilation_cache:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
 

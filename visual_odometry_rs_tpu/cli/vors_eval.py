@@ -22,19 +22,27 @@ USAGE = "Usage: vors_eval groundtruth_file trajectory_file"
 
 
 def associate(gt, est, max_dt: float):
-    """Greedy timestamp matching (the TUM benchmark's associate.py rule)."""
+    """Greedy timestamp matching (the TUM benchmark's associate.py rule).
+
+    Both inputs are timestamp-sorted, so each estimate bisects into the
+    ground truth and checks its two neighbors — O((E+G) log G) instead of
+    the naive O(E*G) double loop (which costs tens of seconds on long fr2
+    sequences)."""
+    import bisect
+
+    gt_ts = [g.timestamp for g in gt]
     pairs = []
     used = set()
     for i, f in enumerate(est):
+        k = bisect.bisect_left(gt_ts, f.timestamp)
         best = None
         best_dt = max_dt
-        for j, g in enumerate(gt):
-            if j in used:
-                continue
-            dt = abs(f.timestamp - g.timestamp)
-            if dt <= best_dt:
-                best = j
-                best_dt = dt
+        for j in (k - 1, k, k + 1):
+            if 0 <= j < len(gt_ts) and j not in used:
+                dt = abs(f.timestamp - gt_ts[j])
+                if dt <= best_dt:
+                    best = j
+                    best_dt = dt
         if best is not None:
             used.add(best)
             pairs.append((best, i))
@@ -69,6 +77,9 @@ def main(argv=None) -> int:
         print(USAGE, file=sys.stderr)
         print(f"Cannot read inputs: {e}", file=sys.stderr)
         return 1
+    except ValueError as e:
+        print(f"Malformed trajectory line: {e}", file=sys.stderr)
+        return 1
 
     pairs = associate(gt, est, args.max_dt)
     if len(pairs) < 2:
@@ -78,14 +89,20 @@ def main(argv=None) -> int:
     est_m = [est[i].pose for _, i in pairs]
 
     ate = ate_mod.ate_rmse(est_m, gt_m, with_scale=args.scale)
-    rpe_t, rpe_r = ate_mod.rpe_rmse(est_m, gt_m, delta=args.delta)
+    if args.delta < len(pairs):
+        rpe_t, rpe_r = ate_mod.rpe_rmse(est_m, gt_m, delta=args.delta)
+        rpe_t, rpe_r = round(rpe_t, 6), round(rpe_r, 6)
+    else:
+        # fewer matched frames than the RPE interval: no pairs to evaluate
+        # (NaN would make the output line invalid JSON)
+        rpe_t = rpe_r = None
     print(
         json.dumps(
             {
                 "matched_frames": len(pairs),
                 "ate_rmse_m": round(ate, 6),
-                "rpe_trans_rmse_m": round(rpe_t, 6),
-                "rpe_rot_rmse_rad": round(rpe_r, 6),
+                "rpe_trans_rmse_m": rpe_t,
+                "rpe_rot_rmse_rad": rpe_r,
                 "delta": args.delta,
             }
         )

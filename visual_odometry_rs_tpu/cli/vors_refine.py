@@ -20,6 +20,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from . import _common
+
 USAGE = "Usage: vors_refine [fr1|fr2|fr3|icl] associations_file trajectory_file"
 
 
@@ -33,13 +35,7 @@ def main(argv=None) -> int:
     parser.add_argument("--nb-levels", type=int, default=6,
                         help="pyramid depth for candidate selection")
     parser.add_argument("--candidate-cap", type=int, default=2048)
-    parser.add_argument(
-        "--compilation-cache",
-        metavar="DIR",
-        help="persistent XLA compilation cache directory: the first run "
-        "compiles (~20-40 s on TPU), subsequent runs with the same config "
-        "start near-instantly",
-    )
+    _common.add_compilation_cache_arg(parser)
     parser.add_argument("--max-iterations", type=int, default=15)
     parser.add_argument(
         "--robust-delta", type=float, default=0.0,
@@ -60,11 +56,7 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    if args.compilation_cache:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from . import _common
+
 USAGE = "Usage: vors_track [fr1|fr2|fr3|icl] associations_file"
 
 
@@ -59,22 +61,12 @@ def main(argv=None) -> int:
         "print once per chunk instead of per frame — the mode for remote/"
         "high-latency TPU transports",
     )
-    parser.add_argument(
-        "--compilation-cache",
-        metavar="DIR",
-        help="persistent XLA compilation cache directory: the first run "
-        "compiles (~20-40 s on TPU), subsequent runs with the same config "
-        "start near-instantly",
-    )
+    _common.add_compilation_cache_arg(parser)
     parser.add_argument("--save-state", help="checkpoint tracker state here at the end")
     parser.add_argument("--resume", help="restore tracker state from a checkpoint")
     args = parser.parse_args(argv)
 
-    if args.compilation_cache:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
 

@@ -216,7 +216,9 @@ def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
     r, maskf, _, _ = _build(win, poses, idepth, method, robust_delta, ab=ab)
     validf = win.valid.astype(Float)
     prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
-    return jnp.sum(r * r) + prior, jnp.sum(maskf)
+    # count CONTRIBUTING pairs (mask > 0), not the sqrt(w)-scaled weights —
+    # energy_tol is calibrated per pair
+    return jnp.sum(r * r) + prior, jnp.sum((maskf > 0.0).astype(Float))
 
 
 def solve_window(
