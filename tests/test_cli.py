@@ -255,3 +255,43 @@ def test_cli_batch_output_name_collision(tmp_path):
     for n in names:
         with open(os.path.join(out_dir, n)) as f:
             assert len(tum_rgbd.parse_trajectory(f.read())) == 2
+
+
+def test_cli_interp_variants_agree(tmp_path):
+    """--interp onehot_weighted (track) and --interp onehot (refine) run and
+    stay within f32 rounding of the default gather paths."""
+    from visual_odometry_rs_tpu.cli import vors_refine
+
+    seq = synthetic.generate_sequence(nb_frames=3, height=48, width=64, seed=11)
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    outs = {}
+    for method in ("gather", "onehot_weighted"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = vors_track.main(
+                ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "256",
+                 "--interp", method]
+            )
+        assert rc == 0
+        outs[method] = tum_rgbd.parse_trajectory(buf.getvalue())
+    assert len(outs["gather"]) == len(outs["onehot_weighted"]) == 2
+    for fg, fo in zip(outs["gather"], outs["onehot_weighted"]):
+        np.testing.assert_allclose(
+            np.asarray(fg.pose.t), np.asarray(fo.pose.t), atol=5e-3
+        )
+
+    traj_path = str(tmp_path / "traj.txt")
+    with open(traj_path, "w") as f:
+        f.write("\n".join(fr.to_string() for fr in outs["gather"]) + "\n")
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = vors_refine.main(
+            ["fr1", assoc_path, traj_path, "--window", "3", "--nb-levels", "3",
+             "--candidate-cap", "128", "--max-iterations", "3",
+             "--interp", "onehot"]
+        )
+    assert rc == 0
+    refined = tum_rgbd.parse_trajectory(buf2.getvalue())
+    assert len(refined) == 2
+    assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in refined)

@@ -245,3 +245,15 @@ def test_track_sequence_switch_branch(seqs):
         np.testing.assert_allclose(
             np.asarray(poses.t[f - 1]), np.asarray(s.current_pose.t), atol=1e-2
         )
+
+
+def test_batched_interp_auto_resolution(monkeypatch):
+    """"auto" resolves to onehot_weighted in batched drivers on TPU only;
+    explicit methods pass through untouched (docs/PERF.md batch-32 A/B)."""
+    cfg = tracker_mod.TrackerConfig(height=48, width=64, interp_method="auto")
+    # CPU backend (tests): identity
+    assert batch_mod._resolve_batched_interp(cfg).interp_method == "auto"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert batch_mod._resolve_batched_interp(cfg).interp_method == "onehot_weighted"
+    explicit = tracker_mod.TrackerConfig(height=48, width=64, interp_method="onehot")
+    assert batch_mod._resolve_batched_interp(explicit).interp_method == "onehot"

@@ -38,6 +38,12 @@ def main(argv=None) -> int:
     _common.add_compilation_cache_arg(parser)
     parser.add_argument("--max-iterations", type=int, default=15)
     parser.add_argument(
+        "--interp",
+        choices=["auto", "gather", "onehot", "onehot_weighted"],
+        default="gather",
+        help="bilinear sampling implementation for the window solve",
+    )
+    parser.add_argument(
         "--robust-delta", type=float, default=0.0,
         help="Huber robust weighting threshold in intensity units (0 = L2)",
     )
@@ -113,6 +119,7 @@ def main(argv=None) -> int:
             max_iterations=args.max_iterations,
             idepth_prior_weight=args.idepth_prior_weight,
             energy_tol=args.energy_tol,
+            interp_method=args.interp,
             robust_delta=args.robust_delta,
             brightness=args.brightness_model,
         )

@@ -33,7 +33,9 @@ def main(argv=None) -> int:
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
     parser.add_argument(
-        "--interp", choices=["auto", "gather", "onehot", "pallas"], default="auto",
+        "--interp",
+        choices=["auto", "gather", "onehot", "onehot_weighted", "pallas"],
+        default="auto",
         help="bilinear sampling implementation",
     )
     parser.add_argument(

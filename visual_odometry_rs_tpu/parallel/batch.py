@@ -19,6 +19,7 @@ switching (``vors_track.rs:49-64``).  This module is the TPU scaling path:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -96,6 +97,22 @@ def track_step(
     return new_state, StepDiagnostics(flow=result.flow, failed=result.failed, switched=switch)
 
 
+def _resolve_batched_interp(config: TrackerConfig) -> TrackerConfig:
+    """Resolve interp ``"auto"`` for BATCHED tracking on TPU.
+
+    Single-stream "auto" picks the exact-bf16 ``onehot`` (fastest there,
+    docs/PERF.md), but under ``vmap`` the lowering changes: the single
+    weighted selector of ``onehot_weighted`` is measured ~50% faster in the
+    fused batch-32 scan (3790 vs 2510 fps/chip, ``tools/ab_interp_scan.py``)
+    — XLA lowers the batched dot-of-one-hot as a gather instead of a dense
+    (B, 2N, H)x(B, H, W) matmul.  Explicit methods are honored unchanged;
+    both variants agree within f32 rounding.
+    """
+    if config.interp_method == "auto" and jax.default_backend() == "tpu":
+        return dataclasses.replace(config, interp_method="onehot_weighted")
+    return config
+
+
 def batched_init_state(
     config: TrackerConfig, intrinsics: Intrinsics, depths: jnp.ndarray, imgs: jnp.ndarray
 ) -> TrackState:
@@ -111,6 +128,7 @@ def batched_track_step(
     imgs: jnp.ndarray,
 ):
     """vmap of ``track_step`` over the leading batch (sequence) axis."""
+    config = _resolve_batched_interp(config)
     return jax.vmap(
         lambda s, d, i: track_step(config, intrinsics, s, d, i)
     )(state, depths, imgs)
@@ -230,6 +248,7 @@ def batched_track_sequence(
     (only on frames where some sequence switches), unlike
     ``batched_track_step`` which must pay it every frame.
     """
+    config = _resolve_batched_interp(config)
 
     def body(s, frame):
         d, i = frame
