@@ -40,8 +40,10 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--interp",
         choices=["auto", "gather", "onehot", "onehot_weighted"],
-        default="gather",
-        help="bilinear sampling implementation for the window solve",
+        default="auto",
+        help="bilinear sampling implementation for the window solve "
+        "(auto: MXU one-hot on TPU — measured 8.2 vs 10.6 ms/solve for "
+        "gather — gather elsewhere)",
     )
     parser.add_argument(
         "--robust-delta", type=float, default=0.0,

@@ -228,7 +228,7 @@ def solve_window(
     lm_init: float = 1e-4,
     idepth_prior_weight: float = 1e4,
     energy_tol: float = 0.01,
-    interp_method: str = "gather",
+    interp_method: str = "auto",
     robust_delta: float = 0.0,
     brightness: bool = False,
 ) -> WindowResult:
@@ -321,7 +321,7 @@ def solve_window_sharded(
     lm_init: float = 1e-4,
     idepth_prior_weight: float = 1e4,
     energy_tol: float = 0.01,
-    interp_method: str = "gather",
+    interp_method: str = "auto",
     robust_delta: float = 0.0,
     brightness: bool = False,
 ) -> WindowResult:
