@@ -99,7 +99,10 @@ def region_thresholds(
         )[0, 0]
 
     mean = box(med) / box(ones)
-    thresh = coef_a * (mean + float(coef_b)) ** 2
+    tmp = mean + float(coef_b)
+    # match the reference's left-associated f32 product a * t * t
+    # (dso.rs:301) bit-for-bit — a * t**2 can differ by 1 ulp when a != 1
+    thresh = (coef_a * tmp) * tmp
     # num_traits::cast to the integer gradient type truncates toward zero
     return jnp.trunc(thresh).astype(jnp.int32)
 
