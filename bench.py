@@ -1,4 +1,4 @@
-"""Benchmark: tracker frames/s per chip on a synthetic 640x480 RGB-D sequence.
+"""Benchmark: tracker frames/s per chip on synthetic 640x480 RGB-D sequences.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
@@ -7,25 +7,53 @@ image has no Rust toolchain to measure it (BASELINE.md).  We use an estimated
 reference throughput of 30 frames/s for a release-mode single-core run of a
 DSO-style direct RGB-D tracker at 640x480 — the same order as published
 direct-VO CPU trackers — and report vs_baseline against that documented
-estimate.  The driver records results per round for trend tracking.
+estimate.  BASELINE.md also records a *measured* floor (the in-repo scalar
+Python oracle).  The driver records results per round for trend tracking.
 
 Methodology: steady-state tracking cost — mean-pyramid build + full 6-level
 coarse-to-fine LM solve + optical-flow keyframe logic per frame, after a
 warmup compile, with device completion blocking.  The headline metric is the
-production serving mode: a batch of 32 independent sequences vmapped on the
-chip, with the frame loop fused into the XLA program via ``lax.scan``
-(``parallel.batch.batched_track_sequence``) so a whole clip is ONE device
-dispatch, including branch-free per-frame keyframe switching.  Single-stream
-per-frame-dispatch fps and the per-step batched fps are printed to stderr.
+production serving mode measured HONESTLY: a batch of 32 *diverse* sequences
+(distinct textures, distinct motion profiles, so keyframe switches
+desynchronize across lanes and the scan-level precompute cond fires
+realistically often), with the frame loop fused into the XLA program via
+``lax.scan`` (``parallel.batch.batched_track_sequence``) so a whole clip is
+ONE device dispatch.  Secondary metrics go to stderr under STABLE keys (one
+metric name per methodology — never compare across keys):
+
+  fps_single_stream . per-frame dispatch, one sequence
+  fps_step_b8_broadcast . per-frame dispatch, 8 identical lanes (legacy)
+  fps_scan_b32_broadcast . fused scan, 32 identical lanes (flatters the
+      switch cond: lockstep switches — kept only for round-over-round trend)
+  fps_scan_b32_diverse . fused scan, 32 diverse lanes  ← HEADLINE
+  fps_scan_b32_diverse_cadence4 . same + switch-cadence batching (switches
+      executed on every 4th frame; see parallel/batch.py)
+  mean_pyramid_ms . 6-level u8 mean pyramid of one 640x480 frame
+      (the reference's only bench harness, benches/mean_pyramid.rs)
+
+All fps numbers are at candidate capacity 4096 (sized to the reference's own
+workload: its 4-level example selects ~2.6k finest-level points,
+examples/README.md:72; TUM fr1 keyframes land in the same range).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 
 REFERENCE_FPS_ESTIMATE = 30.0  # documented estimate, see module docstring
+
+
+def _timeit(fn, block, n):
+    fn()  # warmup (compile)
+    block()
+    start = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    block()
+    return out, (time.perf_counter() - start) / n
 
 
 def main() -> None:
@@ -41,62 +69,84 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import jax.numpy as jnp
+    import numpy as np
 
     from visual_odometry_rs_tpu.dataset import synthetic
     from visual_odometry_rs_tpu.math import pose as pose_mod
     from visual_odometry_rs_tpu.models import tracker as tracker_mod
     from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+    from visual_odometry_rs_tpu.parallel import batch as batch_mod
 
     height, width = 480, 640
-    seq = synthetic.generate_sequence(
-        nb_frames=3, height=height, width=width, seed=0, motion_scale=0.008
-    )
-    # candidate capacity 4096: sized to the reference's own workload (its
-    # 4-level example selects ~2.6k points at the finest level,
-    # examples/README.md:72; TUM fr1 keyframes land in the same range), with
-    # headroom.  The library default stays at the conservative 8192.
+    B, F = 32, 10
     config = tracker_mod.TrackerConfig(
         height=height, width=width, nb_levels=6, candidate_cap=4096
     )
-    intrinsics = seq.intrinsics
 
+    # --- data: one base sequence + 32 diverse sequences -------------------
+    t_gen = time.perf_counter()
+    base = synthetic.generate_sequence(
+        nb_frames=3, height=height, width=width, seed=0, motion_scale=0.008
+    )
+    intrinsics = base.intrinsics
+    rng = np.random.default_rng(42)
+    diverse = []
+    for lane in range(B):
+        # magnitude ladder 0.004..0.04 m/frame + per-lane direction and
+        # rotation, distinct textures: switches desynchronize across lanes
+        mag = 0.004 + 0.036 * lane / (B - 1)
+        direction = rng.normal(size=3)
+        direction = mag * direction / np.linalg.norm(direction)
+        rot = 0.002 * rng.normal(size=3)
+        diverse.append(
+            synthetic.generate_sequence(
+                nb_frames=F + 1, height=height, width=width, seed=100 + lane,
+                intrinsics=intrinsics,
+                twist_per_frame=np.concatenate([direction, rot]),
+            )
+        )
+    print(f"data generation: {time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
+
+    # --- mean-pyramid micro-bench (benches/mean_pyramid.rs parity row) ----
+    img0 = jnp.asarray(base.grays[0])
+    pyr_fn = jax.jit(lambda i: pyramid_ops.mean_pyramid(config.nb_levels, i))
+    out, dt = _timeit(
+        lambda: pyr_fn(img0), lambda: jax.block_until_ready(pyr_fn(img0)[-1]), 50
+    )
+    print(f"mean_pyramid_ms: {dt * 1e3:.3f}", file=sys.stderr)
+
+    # --- single-stream per-frame dispatch ---------------------------------
     @jax.jit
     def per_frame(kf, img, init_model):
         pyr = pyramid_ops.mean_pyramid(config.nb_levels, img)
         result = tracker_mod.track_frame(config, kf, pyr, init_model)
         return result.model, result.flow, result.failed
 
-    depth0 = jnp.asarray(seq.depths[0])
-    pyr0 = jax.jit(lambda i: pyramid_ops.mean_pyramid(config.nb_levels, i))(
-        jnp.asarray(seq.grays[0])
-    )
+    depth0 = jnp.asarray(base.depths[0])
+    pyr0 = pyr_fn(img0)
     kf = jax.jit(
         lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
     )(depth0, pyr0)
     jax.block_until_ready(kf.levels[0].jacobians)
-
-    frames = [jnp.asarray(g) for g in seq.grays[1:]]
+    frames = [jnp.asarray(g) for g in base.grays[1:]]
     ident = pose_mod.identity()
 
-    # warmup / compile single-stream
     model, flow, failed = per_frame(kf, frames[0], ident)
     jax.block_until_ready(model.t)
     assert not bool(failed), "benchmark track failed"
-
     n_iters = 30
     start = time.perf_counter()
     for i in range(n_iters):
         model, flow, failed = per_frame(kf, frames[i % len(frames)], ident)
     jax.block_until_ready(model.t)
     single_fps = n_iters / (time.perf_counter() - start)
+    print(f"fps_single_stream: {single_fps:.2f}", file=sys.stderr)
 
-    # batched per-chip throughput: 8 independent sequences vmapped
-    import sys
-
-    B = 8
-    kfb = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B, *x.shape)), kf)
-    imgs = jnp.broadcast_to(frames[0], (B, height, width))
-    models = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B, *x.shape)), ident)
+    # --- batched per-step (8 identical lanes; legacy comparison key) ------
+    B8 = 8
+    kfb = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B8, *x.shape)), kf)
+    imgs8 = jnp.broadcast_to(frames[0], (B8, height, width))
+    models8 = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B8, *x.shape)), ident)
 
     @jax.jit
     def per_frame_batched(kfb, imgs, models):
@@ -107,57 +157,70 @@ def main() -> None:
 
         return jax.vmap(one)(kfb, imgs, models)
 
-    out = per_frame_batched(kfb, imgs, models)
+    out = per_frame_batched(kfb, imgs8, models8)
     jax.block_until_ready(out[0].t)
     assert not bool(out[1].any()), "batched benchmark track failed"
     start = time.perf_counter()
     for _ in range(n_iters):
-        out = per_frame_batched(kfb, imgs, models)
+        out = per_frame_batched(kfb, imgs8, models8)
     jax.block_until_ready(out[0].t)
-    batched_fps = n_iters * B / (time.perf_counter() - start)
+    step_fps = n_iters * B8 / (time.perf_counter() - start)
+    print(f"fps_step_b8_broadcast: {step_fps:.2f}", file=sys.stderr)
 
-    # headline: fused serving loop — lax.scan over a clip of F frames of the
-    # B-sequence batch (keyframe switching included), one dispatch per clip.
-    # B=32 saturates the chip (measured +20% over B=8 at this capacity).
-    from visual_odometry_rs_tpu.parallel import batch as batch_mod
-
-    B = 32
-    F = 30
+    # --- fused scan, broadcast (legacy trend key; flatters the cond) ------
     depths_b = jnp.broadcast_to(depth0, (B, height, width))
-    grays_b = jnp.broadcast_to(jnp.asarray(seq.grays[0]), (B, height, width))
-    state = jax.jit(
+    grays_b = jnp.broadcast_to(img0, (B, height, width))
+    state_bcast = jax.jit(
         lambda d, g: batch_mod.batched_init_state(config, intrinsics, d, g)
     )(depths_b, grays_b)
-    clip_d = jnp.broadcast_to(depth0, (F, B, height, width))
-    clip_g = jnp.stack(
+    clip_d_bcast = jnp.broadcast_to(depth0, (F, B, height, width))
+    clip_g_bcast = jnp.stack(
         [jnp.broadcast_to(frames[i % len(frames)], (B, height, width)) for i in range(F)]
     )
 
-    @jax.jit
-    def run_clip(state, clip_d, clip_g):
-        return batch_mod.batched_track_sequence(config, intrinsics, state, clip_d, clip_g)
+    def scan_fps(state, clip_d, clip_g, cadence, label):
+        run = jax.jit(
+            lambda s, dd, gg: batch_mod.batched_track_sequence(
+                config, intrinsics, s, dd, gg, switch_cadence=cadence
+            )
+        )
+        final, (poses, diags) = run(state, clip_d, clip_g)
+        jax.block_until_ready(final.current_pose.t)
+        assert not bool(diags.failed.any()), f"{label}: track failed"
+        n_clips = 3
+        start = time.perf_counter()
+        for _ in range(n_clips):
+            final, out = run(state, clip_d, clip_g)
+        jax.block_until_ready(final.current_pose.t)
+        fps = n_clips * F * B / (time.perf_counter() - start)
+        switch_frames = int(jnp.asarray(out[1].switched).any(axis=1).sum())
+        print(f"{label}: {fps:.2f}  (switch-frames {switch_frames}/{F})", file=sys.stderr)
+        return fps
 
-    final, (poses, diags) = run_clip(state, clip_d, clip_g)
-    jax.block_until_ready(final.current_pose.t)
-    assert not bool(diags.failed.any()), "scan benchmark track failed"
-    n_clips = 4
-    start = time.perf_counter()
-    for _ in range(n_clips):
-        final, _ = run_clip(state, clip_d, clip_g)
-    jax.block_until_ready(final.current_pose.t)
-    scan_fps = n_clips * F * B / (time.perf_counter() - start)
+    bcast_fps = scan_fps(state_bcast, clip_d_bcast, clip_g_bcast, 1, "fps_scan_b32_broadcast")
 
-    print(f"single-stream fps: {single_fps:.2f}", file=sys.stderr)
-    print(f"batched per-step fps: {batched_fps:.2f}", file=sys.stderr)
-    print(f"batched fused-scan fps (B={B}): {scan_fps:.2f}", file=sys.stderr)
-    best = max(batched_fps, scan_fps)
+    # --- fused scan, DIVERSE (headline) -----------------------------------
+    d0 = jnp.asarray(np.stack([s.depths[0] for s in diverse]))
+    g0 = jnp.asarray(np.stack([s.grays[0] for s in diverse]))
+    clip_d = jnp.asarray(
+        np.stack([np.stack([s.depths[f] for s in diverse]) for f in range(1, F + 1)])
+    )
+    clip_g = jnp.asarray(
+        np.stack([np.stack([s.grays[f] for s in diverse]) for f in range(1, F + 1)])
+    )
+    state_div = jax.jit(
+        lambda d, g: batch_mod.batched_init_state(config, intrinsics, d, g)
+    )(d0, g0)
+    diverse_fps = scan_fps(state_div, clip_d, clip_g, 1, "fps_scan_b32_diverse")
+    cadence_fps = scan_fps(state_div, clip_d, clip_g, 4, "fps_scan_b32_diverse_cadence4")
+
     print(
         json.dumps(
             {
-                "metric": "tracker_frames_per_second_per_chip_640x480",
-                "value": round(best, 2),
+                "metric": "tracker_fps_chip_640x480_scan_b32_diverse_cap4096",
+                "value": round(diverse_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(best / REFERENCE_FPS_ESTIMATE, 3),
+                "vs_baseline": round(diverse_fps / REFERENCE_FPS_ESTIMATE, 3),
             }
         )
     )

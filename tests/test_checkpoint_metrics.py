@@ -46,9 +46,56 @@ def test_pytree_roundtrip(tmp_path):
     path = str(tmp_path / "t.npz")
     checkpoint.save_pytree(path, tree, {"k": 1})
     restored, meta = checkpoint.load_pytree(path, tree)
-    assert meta == {"k": 1}
+    assert meta["k"] == 1
+    assert meta["format_version"] == checkpoint.FORMAT_VERSION
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
     np.testing.assert_array_equal(np.asarray(restored["b"][0]), np.ones((2, 3)))
+
+
+def test_checkpoint_refuses_mismatched_config(tmp_path):
+    """A checkpoint must not silently resume into a tracker whose config is
+    shape-compatible but semantically different (stale-semantics trap)."""
+    import pytest
+
+    seq = synthetic.generate_sequence(nb_frames=2, height=48, width=64, seed=0)
+
+    def make(config):
+        return tracker_mod.init_tracker(
+            config, seq.intrinsics,
+            float(seq.timestamps[0]), jnp.asarray(seq.depths[0]),
+            float(seq.timestamps[0]), jnp.asarray(seq.grays[0]),
+        )
+
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    trk = make(config)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_tracker(path, trk)
+
+    # same shapes, different semantics: changed LM constant and interp method
+    import dataclasses
+
+    for other in (
+        dataclasses.replace(config, energy_tol=0.5),
+        dataclasses.replace(config, interp_method="gather"),
+    ):
+        trk2 = make(other)
+        with pytest.raises(checkpoint.CheckpointMismatchError):
+            checkpoint.load_tracker(path, trk2)
+
+    # matching config still loads
+    trk3 = make(config)
+    checkpoint.load_tracker(path, trk3)
+
+    # old/unversioned checkpoints are refused with a clear error
+    checkpoint.save_pytree(
+        str(tmp_path / "old.npz"),
+        {"keyframe_data": trk.keyframe_data,
+         "keyframe_pose": trk.keyframe_pose,
+         "current_pose": trk.current_pose},
+        {"format_version": 1},
+    )
+    with pytest.raises(checkpoint.CheckpointMismatchError):
+        checkpoint.load_tracker(str(tmp_path / "old.npz"), make(config))
 
 
 def test_session_metrics():

@@ -18,13 +18,7 @@ from visual_odometry_rs_tpu.math import pose as pose_mod
 
 
 def test_cli_tracks_and_prints_trajectory(tmp_path, capsys):
-    # fr1 intrinsics at full aspect but small size for test speed
-    seq = synthetic.generate_sequence(
-        nb_frames=4, height=120, width=160,
-        intrinsics=tum_rgbd.intrinsics_fr1(), seed=5,
-    )
-    # NOTE: fr1 intrinsics assume 640x480; rescale is handled inside
-    # generate_sequence only when intrinsics is None, so regenerate properly:
+    # small size for test speed; intrinsics=None auto-scales fr1-like values
     seq = synthetic.generate_sequence(nb_frames=4, height=120, width=160, seed=5)
     assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
 

@@ -257,3 +257,70 @@ def test_batched_interp_auto_resolution(monkeypatch):
     assert batch_mod._resolve_batched_interp(cfg).interp_method == "onehot_weighted"
     explicit = tracker_mod.TrackerConfig(height=48, width=64, interp_method="onehot")
     assert batch_mod._resolve_batched_interp(explicit).interp_method == "onehot"
+
+def test_batched_switch_cadence():
+    """switch_cadence batches diverse-lane keyframe switches onto check
+    frames without hurting tracking.
+
+    Lanes with different motion magnitudes cross the flow threshold on
+    different frames; with cadence K the precompute cond may only fire on
+    every K-th frame, and deferred lanes still track (stale keyframes stay
+    inside the LM convergence basin)."""
+    B, F = 4, 6
+    mags = [0.02, 0.04, 0.06, 0.08]
+    seqs_div = [
+        synthetic.generate_sequence(
+            nb_frames=F + 1, height=48, width=64, seed=10 + i,
+            twist_per_frame=[m, 0.0, 0.0, 0.0, 0.0, 0.0],
+        )
+        for i, m in enumerate(mags)
+    ]
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256, flow_threshold=0.5
+    )
+    intrinsics = seqs_div[0].intrinsics
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs_div])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs_div])
+    clips_d = jnp.stack(
+        [jnp.stack([jnp.asarray(s.depths[f]) for s in seqs_div]) for f in range(1, F + 1)]
+    )
+    clips_g = jnp.stack(
+        [jnp.stack([jnp.asarray(s.grays[f]) for s in seqs_div]) for f in range(1, F + 1)]
+    )
+
+    state0 = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    run = lambda K: jax.jit(
+        lambda s, dd, gg: batch_mod.batched_track_sequence(
+            config, intrinsics, s, dd, gg, switch_cadence=K
+        )
+    )(state0, clips_d, clips_g)
+
+    final1, (poses1, diags1) = run(1)
+    final3, (poses3, diags3) = run(3)
+
+    sw1 = np.asarray(diags1.switched)  # (F, B)
+    sw3 = np.asarray(diags3.switched)
+    assert sw1.any(), "scenario must switch keyframes"
+    # cadence=1: switches happen on multiple distinct frames (diverse lanes)
+    assert (sw1.any(axis=1)).sum() >= 2
+    # cadence=3: switches only on check frames (t+1 % 3 == 0 -> frames 2, 5)
+    switch_frames = np.nonzero(sw3.any(axis=1))[0]
+    assert all(f % 3 == 2 for f in switch_frames), switch_frames
+    assert sw3.any(), "deferred switches must still execute"
+    # deferral must not derail tracking: both modes land within ~1.5 cm of
+    # ground truth (x = 6 * magnitude per lane) and of each other — at this
+    # tiny 48x64 resolution per-mode tracking error is already ~5 mm
+    t_true = np.zeros((B, 3), np.float32)
+    t_true[:, 0] = [6 * m for m in mags]
+    for final in (final1, final3):
+        np.testing.assert_allclose(
+            np.asarray(final.current_pose.t), t_true, atol=1.5e-2
+        )
+    np.testing.assert_allclose(
+        np.asarray(final3.current_pose.t), np.asarray(final1.current_pose.t), atol=2e-2
+    )
+    # every lane that switched per-frame also switches under cadence
+    # (deferral only accumulates flow; pending lanes eventually fire)
+    lanes1 = sw1.any(axis=0)
+    lanes3 = sw3.any(axis=0)
+    assert (lanes3 >= lanes1).all(), (lanes1, lanes3)

@@ -247,3 +247,31 @@ def test_window_sharded_brightness_matches_single(window_setup):
     )
     np.testing.assert_allclose(np.asarray(got.poses.t), np.asarray(ref.poses.t), atol=2e-4)
     np.testing.assert_allclose(np.asarray(got.ab), np.asarray(ref.ab), atol=1e-2)
+
+def test_window_degenerate_frame_regularized(window_setup):
+    """A frame whose candidates are ALL out of view has exactly-zero camera
+    diagonal blocks (incl. the brightness gain/bias columns); the additive
+    damping floor must keep the Cholesky finite so the REST of the window
+    still refines instead of silently no-opping (every step rejected)."""
+    seq, config, kf, images, gt_poses = window_setup
+    init = _perturbed(gt_poses, 3e-3, seed=4)
+    # push the last frame 2 m sideways: every candidate warps out of view
+    far = pose_mod.compose(
+        Pose(init.q[-1], init.t[-1]),
+        se3.exp(jnp.asarray([2.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)),
+    )
+    init = Pose(init.q.at[-1].set(far.q), init.t.at[-1].set(far.t))
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, images, init
+    )
+    result = jax.jit(
+        lambda w: photometric_ba.solve_window(w, max_iterations=15, brightness=True)
+    )(win)
+    assert np.isfinite(np.asarray(result.poses.t)).all()
+    assert np.isfinite(float(result.energy))
+    # healthy frames (1..F-2) must improve toward ground truth
+    err_before = np.abs(np.asarray(init.t)[1:-1] - np.asarray(gt_poses.t)[1:-1]).max()
+    err_after = np.abs(
+        np.asarray(result.poses.t)[1:-1] - np.asarray(gt_poses.t)[1:-1]
+    ).max()
+    assert err_after < err_before, (err_before, err_after)

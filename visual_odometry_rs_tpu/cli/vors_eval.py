@@ -22,30 +22,33 @@ USAGE = "Usage: vors_eval groundtruth_file trajectory_file"
 
 
 def associate(gt, est, max_dt: float):
-    """Greedy timestamp matching (the TUM benchmark's associate.py rule).
+    """Global best-first timestamp matching (the TUM benchmark's
+    associate.py rule): collect every (|dt|, gt, est) candidate within
+    ``max_dt``, sort by |dt|, accept greedily when both sides are unused.
 
-    Both inputs are timestamp-sorted, so each estimate bisects into the
-    ground truth and checks its two neighbors — O((E+G) log G) instead of
-    the naive O(E*G) double loop (which costs tens of seconds on long fr2
-    sequences)."""
+    Candidate enumeration bisects the sorted ground-truth timestamps for the
+    window around each estimate — O(C log G + C log C) with C the number of
+    in-window candidate pairs, instead of the naive O(E*G) double loop
+    (which costs tens of seconds on long fr2 sequences)."""
     import bisect
 
     gt_ts = [g.timestamp for g in gt]
-    pairs = []
-    used = set()
+    candidates = []
     for i, f in enumerate(est):
-        k = bisect.bisect_left(gt_ts, f.timestamp)
-        best = None
-        best_dt = max_dt
-        for j in (k - 1, k, k + 1):
-            if 0 <= j < len(gt_ts) and j not in used:
-                dt = abs(f.timestamp - gt_ts[j])
-                if dt <= best_dt:
-                    best = j
-                    best_dt = dt
-        if best is not None:
-            used.add(best)
-            pairs.append((best, i))
+        lo = bisect.bisect_left(gt_ts, f.timestamp - max_dt)
+        hi = bisect.bisect_right(gt_ts, f.timestamp + max_dt)
+        for j in range(lo, hi):
+            dt = abs(f.timestamp - gt_ts[j])
+            if dt <= max_dt:
+                candidates.append((dt, j, i))
+    candidates.sort()
+    used_gt, used_est = set(), set()
+    pairs = []
+    for _, j, i in candidates:
+        if j not in used_gt and i not in used_est:
+            used_gt.add(j)
+            used_est.add(i)
+            pairs.append((j, i))
     pairs.sort()
     return pairs
 

@@ -181,7 +181,13 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
     E = j_xi * j_d[..., None]  # (F, N, 6)
 
     eyeP = jnp.eye(P, dtype=Float)
-    A_damped = A * (1.0 + lm * eyeP)
+    # Marquardt scaling + small additive floor: a frame whose candidates all
+    # fall out of view has exactly-zero diagonal entries (notably the
+    # brightness gain/bias columns), which multiplicative damping alone
+    # cannot regularize — the Cholesky would go NaN and every step would be
+    # rejected.  The floor (like D's 1e-10) keeps degenerate columns
+    # solvable so the rest of the window still refines.
+    A_damped = A * (1.0 + lm * eyeP) + (lm * 1e-6 + 1e-8) * eyeP
     D_damped = D * (1.0 + lm) + 1e-10
 
     D_inv = 1.0 / D_damped  # (N,)
@@ -373,6 +379,9 @@ def solve_window_sharded(
             A_damped, b_cam, S_fill, rhs_fill = _jax.lax.psum(
                 (A_damped, b_cam, S_fill, rhs_fill), axis
             )
+            # additive floor AFTER the psum (applied once, not per shard):
+            # regularizes exactly-zero diagonal entries (see _gn_step)
+            A_damped = A_damped + (lm * 1e-6 + 1e-8) * eyeP
             S = jnp.zeros((F, P, F, P), Float)
             S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
             S = S - S_fill

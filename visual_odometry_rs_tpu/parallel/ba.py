@@ -273,9 +273,14 @@ def solve_point_sharded(
       short windows.
     - ``"ring"``: ring reduce-scatter over keyframe block-rows followed by a
       ring all-gather (``parallel.collectives``) — the ring-attention-style
-      pass over keyframe shards (SURVEY §5): partial sums travel the device
-      ring over ICI and each chip only ever accumulates K/n block-rows.
-      Requires K divisible by the mesh axis size.
+      pass over keyframe shards (SURVEY §5).  This is a *bandwidth-shaped*
+      all-reduce: partial sums travel the device ring over ICI in K/n
+      block-row chunks, but the trailing all-gather still materializes the
+      complete (K,6,K,6) fill-in on every chip before the (replicated)
+      camera solve — peak memory matches ``"psum"``; only the communication
+      pattern differs.  (A reduce-scattered distributed camera solve that
+      never materializes full fill-in is future work.)  Requires K divisible
+      by the mesh axis size.
     """
     from jax.sharding import PartitionSpec as P_
 

@@ -141,6 +141,8 @@ def _lazy_switch_step(
     depth: jnp.ndarray,
     img: jnp.ndarray,
     batched: bool,
+    pending=None,
+    do_check=None,
 ):
     """One scan-body step with the keyframe precompute behind a real branch.
 
@@ -153,6 +155,14 @@ def _lazy_switch_step(
     coarsest level), which is what the reference's host loop does too
     (inverse_compositional.rs:224-239).  Per-sequence selects inside the
     taken branch keep the numerics identical to ``track_step``.
+
+    ``pending``/``do_check`` implement *switch-cadence batching* for diverse
+    batches (see ``batched_track_sequence(switch_cadence=...)``): lanes whose
+    flow crossed the threshold are marked pending, and the precompute branch
+    is only considered on check frames, where ALL pending lanes switch at
+    once (using that frame's image/depth as the new keyframe).  With
+    ``pending=None`` every frame is a check frame and the semantics reduce
+    exactly to the reference's per-frame switching.
     """
     vm = (lambda f: jax.vmap(f)) if batched else (lambda f: f)
 
@@ -178,7 +188,13 @@ def _lazy_switch_step(
         state.current_pose,
     )
 
-    switch = result.flow >= config.flow_threshold
+    switch_now = result.flow >= config.flow_threshold
+    if pending is None:
+        pending_all = switch_now
+        check = jnp.any(switch_now)
+    else:
+        pending_all = jnp.logical_or(pending, switch_now)
+        check = jnp.logical_and(do_check, jnp.any(pending_all))
 
     def recompute(kf_old, kf_pose_old):
         new_kf = vm(
@@ -187,23 +203,27 @@ def _lazy_switch_step(
             )
         )(depth, *pyrs)
         kf = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bcast(switch, new), new, old), new_kf, kf_old
+            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
+            new_kf, kf_old,
         )
         kfp = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bcast(switch, new), new, old),
+            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
             new_current,
             kf_pose_old,
         )
-        return kf, kfp
+        return kf, kfp, jnp.zeros_like(pending_all), pending_all
 
     def keep(kf_old, kf_pose_old):
-        return kf_old, kf_pose_old
+        return kf_old, kf_pose_old, pending_all, jnp.zeros_like(pending_all)
 
-    kf, keyframe_pose = jax.lax.cond(
-        jnp.any(switch), recompute, keep, state.kf, state.keyframe_pose
+    kf, keyframe_pose, pending_out, switched = jax.lax.cond(
+        check, recompute, keep, state.kf, state.keyframe_pose
     )
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
-    return new_state, StepDiagnostics(flow=result.flow, failed=result.failed, switched=switch)
+    diag = StepDiagnostics(flow=result.flow, failed=result.failed, switched=switched)
+    if pending is None:
+        return new_state, diag
+    return new_state, diag, pending_out
 
 
 def track_sequence(
@@ -239,6 +259,7 @@ def batched_track_sequence(
     state: TrackState,
     depths: jnp.ndarray,
     imgs: jnp.ndarray,
+    switch_cadence: int = 1,
 ):
     """``lax.scan`` over frames of the vmapped step: clips are (F, B, H, W).
 
@@ -247,15 +268,38 @@ def batched_track_sequence(
     loop.  The keyframe precompute runs under a scan-level ``lax.cond``
     (only on frames where some sequence switches), unlike
     ``batched_track_step`` which must pay it every frame.
+
+    ``switch_cadence=K`` batches keyframe switches across lanes: the
+    precompute branch is only considered every K-th frame, and lanes whose
+    flow crossed the threshold since the last check all switch together
+    (to THAT frame, not the trigger frame).  With diverse sequences the
+    "any lane switched?" cond otherwise fires ~B times as often as any
+    single lane switches, paying the full batched precompute each time;
+    cadence K bounds precompute frames to F/K at the cost of lanes tracking
+    up to K-1 extra frames against a stale keyframe (benign: flows of
+    1-2 px at the coarsest level are still well inside LM's convergence
+    basin, and the ATE impact is measured in ``tests/test_parallel.py``).
+    ``K=1`` is the reference-exact per-frame semantics.
     """
     config = _resolve_batched_interp(config)
+    nb_frames = depths.shape[0]
+    batch = depths.shape[1]
 
-    def body(s, frame):
-        d, i = frame
-        s2, diag = _lazy_switch_step(config, intrinsics, s, d, i, batched=True)
-        return s2, (s2.current_pose, diag)
+    def body(carry, frame):
+        s, pending = carry
+        t, d, i = frame
+        do_check = (t + 1) % switch_cadence == 0
+        s2, diag, pending2 = _lazy_switch_step(
+            config, intrinsics, s, d, i, batched=True,
+            pending=pending, do_check=do_check,
+        )
+        return (s2, pending2), (s2.current_pose, diag)
 
-    return jax.lax.scan(body, state, (depths, imgs))
+    pending0 = jnp.zeros((batch,), bool)
+    (final, _), out = jax.lax.scan(
+        body, (state, pending0), (jnp.arange(nb_frames), depths, imgs)
+    )
+    return final, out
 
 
 def make_sharded_step(config: TrackerConfig, intrinsics: Intrinsics, mesh, axis="data"):
