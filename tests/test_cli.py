@@ -289,3 +289,46 @@ def test_cli_interp_variants_agree(tmp_path):
     refined = tum_rgbd.parse_trajectory(buf2.getvalue())
     assert len(refined) == 2
     assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in refined)
+
+def test_cli_refine_sliding_reduces_injected_drift(tmp_path):
+    """vors_refine --mode sliding: a trajectory with injected cumulative
+    drift must come back with strictly lower ATE (VERDICT round-1 item 7:
+    no-op refinement must not pass silently)."""
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.cli import vors_refine
+    from visual_odometry_rs_tpu.eval import ate
+    from visual_odometry_rs_tpu.math import se3
+
+    seq = synthetic.generate_sequence(
+        nb_frames=7, height=120, width=160, seed=31,
+        motion_scale=0.012, rot_scale=0.003,
+    )
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    rng = np.random.default_rng(5)
+    drift = [pose_mod.identity()]
+    for _ in range(1, len(seq.poses)):
+        step = se3.exp(jnp.asarray(rng.normal(size=6) * 0.004, jnp.float32))
+        drift.append(pose_mod.compose(drift[-1], step))
+    drifted = [pose_mod.compose(p, d) for p, d in zip(seq.poses, drift)]
+
+    traj_path = str(tmp_path / "drifted.txt")
+    with open(traj_path, "w") as f:
+        for t, p in zip(seq.timestamps[1:], drifted[1:]):
+            f.write(tum_rgbd.Frame(timestamp=float(t), pose=p).to_string() + "\n")
+
+    ate_before = ate.ate_rmse(drifted[1:], seq.poses[1:])
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_refine.main(
+            ["fr1", assoc_path, traj_path, "--mode", "sliding", "--window", "4",
+             "--nb-levels", "3", "--candidate-cap", "1024", "--interp", "gather",
+             "--energy-tol", "0.05"]
+        )
+    assert rc == 0
+    refined = tum_rgbd.parse_trajectory(buf.getvalue())
+    ate_after = ate.ate_rmse([f.pose for f in refined], seq.poses[1:])
+    # the fr1 preset auto-rescales to the synthetic render's exact intrinsics
+    assert ate_after < 0.6 * ate_before, (ate_before, ate_after)

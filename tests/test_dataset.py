@@ -66,3 +66,19 @@ def test_parse_error():
 
     with pytest.raises(ValueError):
         tum_rgbd.parse_associations("only three fields here\n")
+
+def test_scaled_intrinsics():
+    from visual_odometry_rs_tpu.dataset import tum_rgbd
+
+    native = tum_rgbd.INTRINSICS["fr1"]()
+    same = tum_rgbd.scaled_intrinsics("fr1", 480, 640)
+    # identity at native resolution
+    for a, b in zip(native, same):
+        assert abs(float(a) - float(b)) < 1e-5
+    half = tum_rgbd.scaled_intrinsics("fr1", 240, 320)
+    # matches the pyramid's half-res convention (camera.rs:115-123)
+    from visual_odometry_rs_tpu.core import camera as camera_mod
+
+    expect = camera_mod.half_res(native)
+    for a, b in zip(expect, half):
+        assert abs(float(a) - float(b)) < 1e-4

@@ -1,0 +1,105 @@
+"""Loop-closure front-end + end-to-end pose-graph tests (VERDICT item 6).
+
+A synthetic out-and-back loop trajectory with injected odometry drift:
+the front-end must propose the revisit pairs by (drifty) pose proximity,
+verify them photometrically with the tracker's own alignment machinery, and
+the resulting loop edges must let pose-graph optimization cut the ATE to
+under 0.3x the drifted ATE.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_odometry_rs_tpu.dataset import synthetic
+from visual_odometry_rs_tpu.eval import ate
+from visual_odometry_rs_tpu.math import pose as pose_mod
+from visual_odometry_rs_tpu.math import se3
+from visual_odometry_rs_tpu.math.pose import Pose
+from visual_odometry_rs_tpu.models import loop_closure, tracker as tracker_mod
+from visual_odometry_rs_tpu.parallel import pose_graph
+
+
+@pytest.fixture(scope="module")
+def loop_setup():
+    """Out-and-back trajectory: 7 frames out (+x), 7 frames back."""
+    out = [[0.04, 0.004, 0.002, 0.002, -0.001, 0.001]] * 7
+    back = [[-0.04, -0.004, -0.002, -0.002, 0.001, -0.001]] * 7
+    twists = np.asarray(out + back, np.float32)
+    seq = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=41,
+        twist_per_frame=twists,
+    )
+    config = tracker_mod.TrackerConfig(
+        height=120, width=160, nb_levels=3, candidate_cap=1024,
+        interp_method="gather",
+    )
+    # injected odometry drift: a systematic per-frame bias plus small noise
+    # (real VO drift is dominated by calibration/scale bias, which is what
+    # loop closure corrects; white noise within a leg is not observable
+    # from a loop constraint)
+    rng = np.random.default_rng(8)
+    bias = np.asarray([0.004, -0.002, 0.001, 0.0008, 0.0005, -0.0004], np.float32)
+    drift = [pose_mod.identity()]
+    for _ in range(1, len(seq.poses)):
+        step = se3.exp(jnp.asarray(bias + rng.normal(size=6) * 0.001, jnp.float32))
+        drift.append(pose_mod.compose(drift[-1], step))
+    drifted = [pose_mod.compose(p, d) for p, d in zip(seq.poses, drift)]
+    return seq, config, drifted
+
+
+def test_propose_candidates_finds_revisit(loop_setup):
+    seq, config, drifted = loop_setup
+    lc = loop_closure.LoopClosureConfig(radius=0.25, min_gap=8)
+    pairs = loop_closure.propose_candidates(drifted, lc)
+    assert pairs, "out-and-back trajectory must propose revisit pairs"
+    # every pair must be temporally separated and one end in each leg
+    for i, j in pairs:
+        assert i - j > 8
+        assert j <= 5 and i >= 9, (i, j)
+    # no pair between consecutive frames at mid-trajectory
+    assert all(i - j > 8 for i, j in pairs)
+
+
+def test_detect_loops_verifies_photometrically(loop_setup):
+    seq, config, drifted = loop_setup
+    lc = loop_closure.LoopClosureConfig(
+        radius=0.25, min_gap=8, max_candidates=6, energy_accept=300.0
+    )
+    edges = loop_closure.detect_loops(
+        config, seq.intrinsics, drifted, seq.depths, seq.grays, lc
+    )
+    assert edges, "at least one loop edge must verify"
+    for (i, j, z, energy) in edges:
+        assert energy <= 300.0
+        # measured Z_ij must be close to ground truth T_i^-1 T_j (the
+        # photometric solve sees the true images, not the drifted estimates)
+        gt_z = pose_mod.compose(pose_mod.inverse(seq.poses[i]), seq.poses[j])
+        np.testing.assert_allclose(np.asarray(z.t), np.asarray(gt_z.t), atol=8e-3)
+        np.testing.assert_allclose(np.asarray(z.q), np.asarray(gt_z.q), atol=4e-3)
+
+
+def test_loop_closure_pgo_reduces_ate(loop_setup):
+    """The full front-end -> back-end chain: drift in, loops out, ATE down
+    by more than 3x (VERDICT item 6 acceptance bar)."""
+    seq, config, drifted = loop_setup
+    ate_before = ate.ate_rmse(drifted, seq.poses)
+    lc = loop_closure.LoopClosureConfig(
+        radius=0.25, min_gap=8, max_candidates=6, energy_accept=300.0
+    )
+    edges = loop_closure.detect_loops(
+        config, seq.intrinsics, drifted, seq.depths, seq.grays, lc
+    )
+    assert edges
+    nodes = Pose(
+        jnp.stack([p.q for p in drifted]), jnp.stack([p.t for p in drifted])
+    )
+    graph = pose_graph.odometry_graph(
+        nodes, loop_edges=[(i, j, z) for i, j, z, _ in edges]
+    )
+    result = pose_graph.solve(graph, max_iterations=30)
+    optimized = [
+        Pose(result.nodes.q[k], result.nodes.t[k]) for k in range(len(drifted))
+    ]
+    ate_after = ate.ate_rmse(optimized, seq.poses)
+    assert ate_after < 0.3 * ate_before, (ate_before, ate_after)

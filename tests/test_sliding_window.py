@@ -1,0 +1,147 @@
+"""DSO-style sliding-window refiner tests.
+
+Covers VERDICT round-1 item 7: an end-to-end regression test that a drifting
+trajectory strictly improves after refinement, plus unit tests of the pose
+prior and frame marginalization.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_odometry_rs_tpu.dataset import synthetic
+from visual_odometry_rs_tpu.eval import ate
+from visual_odometry_rs_tpu.math import pose as pose_mod
+from visual_odometry_rs_tpu.math import se3
+from visual_odometry_rs_tpu.math.pose import Pose
+from visual_odometry_rs_tpu.models import photometric_ba, sliding_window
+from visual_odometry_rs_tpu.models import tracker as tracker_mod
+from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+
+
+@pytest.fixture(scope="module")
+def drift_setup():
+    h, w, F = 120, 160, 8
+    seq = synthetic.generate_sequence(
+        nb_frames=F, height=h, width=w, seed=21, motion_scale=0.012, rot_scale=0.003
+    )
+    config = tracker_mod.TrackerConfig(
+        height=h, width=w, nb_levels=3, candidate_cap=1024
+    )
+    # drifting initialization: compose ground truth with a growing error
+    rng = np.random.default_rng(3)
+    drift = [pose_mod.identity()]
+    for _ in range(1, F):
+        step = se3.exp(jnp.asarray(rng.normal(size=6) * 0.004, jnp.float32))
+        drift.append(pose_mod.compose(drift[-1], step))
+    drifted = [pose_mod.compose(p, d) for p, d in zip(seq.poses, drift)]
+    return seq, config, drifted
+
+
+def test_pose_prior_pins_to_anchor(drift_setup):
+    """A huge pose prior must hold the solution at its anchors."""
+    seq, config, _ = drift_setup
+    pyr0 = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(seq.grays[0]))
+    kf = jax.jit(
+        lambda d, p: tracker_mod.precompute_keyframe(config, seq.intrinsics, d, p)
+    )(jnp.asarray(seq.depths[0]), pyr0)
+    F = 3
+    images = jnp.asarray(np.stack(seq.grays[:F]).astype(np.float32))
+    gt_rel = [pose_mod.compose(pose_mod.inverse(p), seq.poses[0]) for p in seq.poses[:F]]
+    # perturb the last frame; anchor the prior at the perturbed poses
+    pert = list(gt_rel)
+    pert[-1] = pose_mod.compose(pert[-1], se3.exp(jnp.asarray([5e-3] * 6, jnp.float32)))
+    poses0 = Pose(jnp.stack([p.q for p in pert]), jnp.stack([p.t for p in pert]))
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, images, poses0
+    )
+    big = 1e12
+    Hp = jnp.zeros((F, 6, F, 6), jnp.float32)
+    for f in range(1, F):
+        Hp = Hp.at[f, :, f, :].set(big * jnp.eye(6))
+    res = jax.jit(
+        lambda w, H, q, t: photometric_ba.solve_window(
+            w, pose_prior=(H, Pose(q, t)), max_iterations=8
+        )
+    )(win, Hp, poses0.q, poses0.t)
+    # photometric pull exists (perturbed frame is off), but the prior wins:
+    # residual motion ~1e-5 = photometric-rhs / 1e12 prior stiffness
+    np.testing.assert_allclose(np.asarray(res.poses.t), np.asarray(poses0.t), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(res.poses.q), np.asarray(poses0.q), atol=5e-5)
+
+
+def test_marginalize_frame_matrix():
+    """Schur marginalization on a hand-built SPD system equals the dense
+    conditional-information formula."""
+    rng = np.random.default_rng(0)
+    F, P = 4, 6
+    M = rng.normal(size=(F * P, F * P))
+    S_dense = M @ M.T + 0.5 * np.eye(F * P)
+    S = jnp.asarray(S_dense.reshape(F, P, F, P), jnp.float32)
+    H = np.asarray(sliding_window.marginalize_frame(S, j=1, eps=0.0))
+    keep = [0] + list(range(2, F))
+    keep_idx = np.concatenate([np.arange(k * P, (k + 1) * P) for k in keep])
+    j_idx = np.arange(1 * P, 2 * P)
+    S_kk = S_dense[np.ix_(keep_idx, keep_idx)]
+    S_kj = S_dense[np.ix_(keep_idx, j_idx)]
+    S_jj = S_dense[np.ix_(j_idx, j_idx)]
+    expected = S_kk - S_kj @ np.linalg.inv(S_jj) @ S_kj.T
+    np.testing.assert_allclose(
+        H.reshape((F - 1) * P, (F - 1) * P), expected, rtol=2e-4, atol=2e-3
+    )
+
+
+def _run_sliding(seq, config, drifted, window_size, marginalize):
+    sw = sliding_window.SlidingWindow(
+        config, seq.intrinsics, window_size=window_size,
+        marginalize=marginalize, max_iterations=12, interp_method="gather",
+    )
+    sw.start(seq.depths[0], seq.grays[0], drifted[0])
+    latest = {0: drifted[0]}
+    for f in range(1, len(seq.grays)):
+        ids, refined = sw.add_frame(seq.depths[f], seq.grays[f], drifted[f])
+        for i, p in zip(ids, refined):
+            latest[i] = p
+    return [latest[i] for i in range(len(seq.grays))]
+
+
+def test_sliding_window_reduces_drift_ate(drift_setup):
+    """End-to-end: drifting trajectory in, refined trajectory out, ATE must
+    strictly improve by a clear margin (VERDICT item 7)."""
+    seq, config, drifted = drift_setup
+    ate_before = ate.ate_rmse(drifted, seq.poses)
+    refined = _run_sliding(seq, config, drifted, window_size=4, marginalize=True)
+    ate_after = ate.ate_rmse(refined, seq.poses)
+    assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
+
+
+def test_sliding_window_marginalization_helps_or_matches(drift_setup):
+    """Dropping frames outright must not beat marginalizing them (the prior
+    carries departed frames' information)."""
+    seq, config, drifted = drift_setup
+    refined_marg = _run_sliding(seq, config, drifted, window_size=3, marginalize=True)
+    refined_drop = _run_sliding(seq, config, drifted, window_size=3, marginalize=False)
+    ate_marg = ate.ate_rmse(refined_marg, seq.poses)
+    ate_drop = ate.ate_rmse(refined_drop, seq.poses)
+    # marginalization should help; tolerate parity within 10%
+    assert ate_marg <= ate_drop * 1.1, (ate_marg, ate_drop)
+
+
+def test_sliding_window_keyframe_switch():
+    """Large steady motion must trigger the flow-based keyframe switch."""
+    seq = synthetic.generate_sequence(
+        nb_frames=7, height=120, width=160, seed=9,
+        twist_per_frame=[0.05, 0.0, 0.0, 0.0, 0.0, 0.0],
+    )
+    config = tracker_mod.TrackerConfig(
+        height=120, width=160, nb_levels=3, candidate_cap=1024
+    )
+    sw = sliding_window.SlidingWindow(
+        config, seq.intrinsics, window_size=4, max_iterations=8,
+        interp_method="gather",
+    )
+    sw.start(seq.depths[0], seq.grays[0], seq.poses[0])
+    for f in range(1, len(seq.grays)):
+        sw.add_frame(seq.depths[f], seq.grays[f], seq.poses[f])
+    assert sw.keyframe_switches >= 1

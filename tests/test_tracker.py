@@ -260,3 +260,79 @@ def test_tracks_odd_sized_images():
     assert not trk.last_failed
     err = ate.ate_rmse(est, seq.poses)
     assert err < 1e-2, err
+
+def test_extract_candidates_matches_topk_formulation():
+    """The cumsum-scatter compaction must be bit-identical to the original
+    lax.top_k-over-bit-reversed-keys formulation (incl. truncation)."""
+    import jax
+    from visual_odometry_rs_tpu.core import inverse_depth as idepth_mod
+
+    def topk_reference(idmap, cap):
+        h, w = idmap.state.shape
+        hw = h * w
+        nbits = max(1, (hw - 1).bit_length())
+        flat_known = idmap.known.reshape(-1)
+        iota = jax.lax.iota(jnp.int32, hw)
+        rev = jnp.zeros_like(iota)
+        x = iota
+        for _ in range(nbits):
+            rev = (rev << 1) | (x & 1)
+            x = x >> 1
+        sentinel = -(1 << nbits) - 1
+        keys = jnp.where(flat_known, -rev, sentinel)
+        _, idxs = jax.lax.top_k(keys, cap)
+        valid = flat_known[idxs]
+        idxs = jnp.where(valid, idxs, 0)
+        ys = jax.lax.div(idxs, jnp.int32(w))
+        xs = jax.lax.rem(idxs, jnp.int32(w))
+        z = idmap.idepth.reshape(-1)[idxs]
+        return xs.astype(jnp.float32), ys.astype(jnp.float32), z, valid
+
+    rng = np.random.default_rng(17)
+    for shape, cap, density in [((48, 64), 256, 0.1), ((47, 63), 128, 0.5),
+                                ((32, 32), 1024, 0.9), ((40, 56), 64, 0.9)]:
+        known = rng.random(shape) < density
+        depth = np.where(known, rng.integers(1000, 20000, shape), 0).astype(np.uint16)
+        idmap = idepth_mod.from_depth(5000.0, jnp.asarray(depth), 1e-4)
+        got = tracker_mod._extract_candidates(idmap, cap)
+        want = topk_reference(idmap, cap)
+        for g, w_, name in zip(got, want, ("xs", "ys", "z", "valid")):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w_), err_msg=name)
+
+def test_extract_level_onehot_matches_direct():
+    """The all-matmul extraction must select the same candidate set (front-
+    compacted) with exactly the right per-candidate channel values."""
+    from visual_odometry_rs_tpu.core import inverse_depth as idepth_mod
+
+    rng = np.random.default_rng(23)
+    for (h, w), cap, density in [((48, 64), 256, 0.1), ((47, 63), 512, 0.3),
+                                 ((30, 40), 1200, 0.9), ((48, 64), 64, 0.5)]:
+        known = rng.random((h, w)) < density
+        depth = np.where(known, rng.integers(1000, 20000, (h, w)), 0).astype(np.uint16)
+        idmap = idepth_mod.from_depth(5000.0, jnp.asarray(depth), 1e-4)
+        gx = jnp.asarray(rng.integers(-127, 128, (h, w)), jnp.int16)
+        gy = jnp.asarray(rng.integers(-127, 128, (h, w)), jnp.int16)
+        tmpl = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.uint8)
+        cap_eff = min(cap, h * w)
+        xs, ys, z, valid, gu, gv, tv = tracker_mod._extract_level_onehot(
+            idmap, gx, gy, tmpl, cap_eff
+        )
+        xs, ys, z, valid, gu, gv, tv = map(np.asarray, (xs, ys, z, valid, gu, gv, tv))
+        nvalid = int(valid.sum())
+        assert valid[:nvalid].all() and not valid[nvalid:].any()  # front-compacted
+        total_known = int(known.sum())
+        assert nvalid == min(total_known, cap_eff)
+        xi = xs[:nvalid].astype(int)
+        yi = ys[:nvalid].astype(int)
+        # unique, known positions
+        flat = yi * w + xi
+        assert len(set(flat.tolist())) == nvalid
+        assert known[yi, xi].all()
+        if total_known <= cap_eff:
+            got = set(zip(xi.tolist(), yi.tolist()))
+            want = {(int(x), int(y)) for y, x in zip(*np.nonzero(known))}
+            assert got == want
+        np.testing.assert_array_equal(z[:nvalid], np.asarray(idmap.idepth)[yi, xi])
+        np.testing.assert_array_equal(gu[:nvalid], np.asarray(gx)[yi, xi].astype(np.float32))
+        np.testing.assert_array_equal(gv[:nvalid], np.asarray(gy)[yi, xi].astype(np.float32))
+        np.testing.assert_array_equal(tv[:nvalid], np.asarray(tmpl)[yi, xi].astype(np.float32))

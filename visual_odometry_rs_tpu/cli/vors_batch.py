@@ -93,7 +93,6 @@ def main(argv=None) -> int:
         return 1
 
     B = len(all_assocs)
-    intrinsics = tum_rgbd.INTRINSICS[args.camera_id]()
 
     first = [tum_rgbd.read_images(a[0]) for a in all_assocs]
     shapes = {g.shape for _, g in first}
@@ -101,6 +100,9 @@ def main(argv=None) -> int:
         print(f"All sequences must share one image shape, got {shapes}", file=sys.stderr)
         return 1
     h, w = next(iter(shapes))
+    intrinsics = tum_rgbd.scaled_intrinsics(args.camera_id, h, w)
+    if (h, w) != (tum_rgbd.NATIVE_HEIGHT, tum_rgbd.NATIVE_WIDTH):
+        print(f"note: {args.camera_id} intrinsics rescaled to {w}x{h} inputs", file=sys.stderr)
 
     config = tracker_mod.TrackerConfig(
         height=h,

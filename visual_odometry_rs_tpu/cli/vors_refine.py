@@ -4,13 +4,19 @@
         trajectory.txt [--window 6] > refined.txt
 
 Post-processes a TUM-format trajectory produced by ``vors_track`` (or any
-TUM trajectory aligned with the associations file): the sequence is split
-into windows of ``--window`` frames; each window's first frame becomes its
-keyframe (pose held fixed as the gauge), and the window's poses and the
-keyframe candidates' inverse depths are jointly refined with the
-Schur-reduced photometric LM solve (``models.photometric_ba``) — the
-sliding-window optimization the reference defers to future work (its
-README.md:54-55).
+TUM trajectory aligned with the associations file) with the sliding-window
+optimization the reference defers to future work (its README.md:54-55).
+
+Two modes:
+
+- ``--mode sliding`` (default): DSO-style keyframe-anchored window
+  (``models.sliding_window``) — advances one frame at a time, jointly
+  refining the window's poses and the keyframe candidates' inverse depths
+  with the Schur-reduced photometric LM solve, MARGINALIZING departed
+  frames into a Gaussian pose prior and switching keyframes on the
+  tracker's optical-flow criterion.
+- ``--mode chunked``: disjoint ``--window``-frame chunks overlapping by one
+  frame; one solve per chunk (cheaper, no marginalization).
 
 Refined trajectory prints to stdout in TUM format; diagnostics to stderr.
 """
@@ -32,6 +38,19 @@ def main(argv=None) -> int:
     parser.add_argument("trajectory_file")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--window", type=int, default=6)
+    parser.add_argument(
+        "--mode", choices=["sliding", "chunked"], default="sliding",
+        help="'sliding' (default): DSO-style keyframe-anchored window that "
+        "advances one frame at a time, marginalizing departed frames into "
+        "a pose prior and switching keyframes on the tracker's optical-flow "
+        "criterion (models.sliding_window).  'chunked': the round-1 "
+        "behavior — disjoint --window-frame chunks overlapping by one "
+        "frame (cheaper: one solve per chunk instead of per frame).",
+    )
+    parser.add_argument(
+        "--no-marginalization", action="store_true",
+        help="sliding mode: drop departed frames instead of marginalizing",
+    )
     parser.add_argument("--nb-levels", type=int, default=6,
                         help="pyramid depth for candidate selection")
     parser.add_argument("--candidate-cap", type=int, default=2048)
@@ -110,10 +129,45 @@ def main(argv=None) -> int:
         depth_scale=tum_rgbd.DEPTH_SCALE,
     )
 
-    precompute = jax.jit(
-        lambda d, p: tracker_mod.precompute_keyframe(
-            config, tum_rgbd.INTRINSICS[args.camera_id](), d, p
+    intrinsics = tum_rgbd.scaled_intrinsics(args.camera_id, h, w)
+    if (h, w) != (tum_rgbd.NATIVE_HEIGHT, tum_rgbd.NATIVE_WIDTH):
+        print(f"note: {args.camera_id} intrinsics rescaled to {w}x{h} inputs", file=sys.stderr)
+
+    if args.mode == "sliding":
+        from ..models import sliding_window
+
+        sw = sliding_window.SlidingWindow(
+            config, intrinsics,
+            window_size=max(2, args.window),
+            marginalize=not args.no_marginalization,
+            max_iterations=args.max_iterations,
+            idepth_prior_weight=args.idepth_prior_weight,
+            energy_tol=args.energy_tol,
+            interp_method=args.interp,
+            robust_delta=args.robust_delta,
+            brightness=args.brightness_model,
         )
+        refined = [None] * len(associations)
+        loader = iter(tum_rgbd.frame_loader(associations))
+        depth0_s, gray0_s = next(loader)
+        sw.start(depth0_s, gray0_s, c2w[0])
+        refined[0] = c2w[0]
+        for i, (depth_i, gray_i) in enumerate(loader, start=1):
+            ids, poses = sw.add_frame(depth_i, gray_i, c2w[i])
+            for fid, p in zip(ids, poses):
+                refined[fid] = p  # latest estimate wins (windows overlap)
+            print(
+                f"frame {i}: window {ids[0]}..{ids[-1]}, "
+                f"keyframe switches {sw.keyframe_switches}",
+                file=sys.stderr,
+            )
+        for i, assoc in enumerate(associations[1:], start=1):
+            pose = refined[i] if refined[i] is not None else c2w[i]
+            print(tum_rgbd.Frame(timestamp=assoc.depth_timestamp, pose=pose).to_string())
+        return 0
+
+    precompute = jax.jit(
+        lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
     )
     solve = jax.jit(
         lambda win: photometric_ba.solve_window(
@@ -161,7 +215,7 @@ def main(argv=None) -> int:
             jnp.stack([p.q for p in rel]), jnp.stack([p.t for p in rel])
         )
         win = photometric_ba.window_from_tracking(
-            config, tum_rgbd.INTRINSICS[args.camera_id](), kf.levels, images, init_poses
+            config, intrinsics, kf.levels, images, init_poses
         )
         result = solve(win)
         print(

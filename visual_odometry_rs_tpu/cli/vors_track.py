@@ -81,7 +81,6 @@ def main(argv=None) -> int:
     from ..utils import checkpoint as checkpoint_mod
     from ..utils import metrics as metrics_mod
 
-    intrinsics = tum_rgbd.INTRINSICS[args.camera_id]()
     try:
         associations = tum_rgbd.load_associations(args.associations_file)
     except OSError as e:
@@ -94,6 +93,12 @@ def main(argv=None) -> int:
 
     depth0, gray0 = tum_rgbd.read_images(associations[0])
     h, w = gray0.shape
+    intrinsics = tum_rgbd.scaled_intrinsics(args.camera_id, h, w)
+    if (h, w) != (tum_rgbd.NATIVE_HEIGHT, tum_rgbd.NATIVE_WIDTH):
+        print(
+            f"note: {args.camera_id} intrinsics rescaled to {w}x{h} inputs",
+            file=sys.stderr,
+        )
     config = tracker_mod.TrackerConfig(
         height=h,
         width=w,

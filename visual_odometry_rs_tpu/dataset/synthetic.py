@@ -112,12 +112,12 @@ def generate_sequence(
     from ..math import se3
 
     if intrinsics is None:
-        # fr1-like intrinsics scaled to the requested resolution
-        scale = width / 640.0
-        intrinsics = Intrinsics.make(
-            318.643040 * scale, 255.313989 * scale,
-            517.306408 * scale, 516.469215 * scale,
-        )
+        # fr1 intrinsics rescaled to the requested resolution with the
+        # pixel-center convention — identical to what the CLIs compute via
+        # ``tum_rgbd.scaled_intrinsics`` for non-640x480 inputs
+        from . import tum_rgbd
+
+        intrinsics = tum_rgbd.scaled_intrinsics("fr1", height, width)
 
     rng = np.random.default_rng(seed)
     poses = [Pose(jnp.array([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32))]
@@ -128,6 +128,8 @@ def generate_sequence(
         if f > 0:
             if twist_per_frame is not None:
                 xi = np.asarray(twist_per_frame, np.float32)
+                if xi.ndim == 2:  # per-frame twist schedule (F-1, 6)
+                    xi = xi[f - 1]
             else:
                 xi = np.concatenate(
                     [

@@ -52,6 +52,31 @@ INTRINSICS = {
     "icl": intrinsics_icl_nuim,
 }
 
+# native resolution of every preset (the reference hardcodes 640x480 images)
+NATIVE_WIDTH, NATIVE_HEIGHT = 640, 480
+
+
+def scaled_intrinsics(camera_id: str, height: int, width: int) -> Intrinsics:
+    """Preset intrinsics rescaled to a non-native image size.
+
+    The reference assumes 640x480 inputs (its presets are only valid there).
+    When images come at another resolution, focal lengths scale linearly and
+    the principal point scales in the pixel-CENTER convention
+    ``c' = (c + 0.5) * s - 0.5`` — the same convention as the pyramid's
+    half-resolution intrinsics (ref camera.rs:115-123, s = 1/2).  At native
+    size this is the identity.
+    """
+    k = INTRINSICS[camera_id]()
+    sx = width / NATIVE_WIDTH
+    sy = height / NATIVE_HEIGHT
+    return Intrinsics.make(
+        (float(k.cx) + 0.5) * sx - 0.5,
+        (float(k.cy) + 0.5) * sy - 0.5,
+        float(k.fx) * sx,
+        float(k.fy) * sy,
+        float(k.skew),
+    )
+
 
 @dataclass
 class Association:

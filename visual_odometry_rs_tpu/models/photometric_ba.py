@@ -153,12 +153,40 @@ def _build(
     return r, maskf, j_xi, j_d
 
 
-def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
-             robust_delta: float = 0.0, ab=None, brightness: bool = False):
-    """One damped Schur-reduced Gauss-Newton step; returns deltas.
+def _prior_residual(poses: Pose, anchors: Pose) -> jnp.ndarray:
+    """Per-frame prior residual ρ_f = log(anchor_f⁻¹ ∘ pose_f), (F, 6).
 
-    The camera block has P = 6 parameters per frame (twist), or 8 with
-    ``brightness`` (+ per-frame gain/bias, exactly linear).
+    The solver's update is right-multiplicative (``pose ∘ exp(δ)``), so a
+    step δ maps ρ → ρ + δ to first order — a Gaussian pose prior
+    ``0.5 (ρ+δ)ᵀ H (ρ+δ)`` contributes H to the camera system and -Hρ to
+    the right-hand side.
+    """
+    return jax.vmap(
+        lambda qa, ta, q, t: se3.log(
+            pose_mod.compose(pose_mod.inverse(Pose(qa, ta)), Pose(q, t))
+        )
+    )(anchors.q, anchors.t, poses.q, poses.t)
+
+
+def _pad_prior(Hp: jnp.ndarray, rho: jnp.ndarray, F: int, P: int):
+    """Zero-pad a 6-dof pose prior to the P-parameter camera blocks."""
+    if P == 6:
+        return Hp, rho
+    Hp_p = jnp.zeros((F, P, F, P), Float).at[:, :6, :, :6].set(Hp)
+    rho_p = jnp.zeros((F, P), Float).at[:, :6].set(rho)
+    return Hp_p, rho_p
+
+
+def _camera_system(win: Window, poses: Pose, idepth, lm, prior_weight,
+                   method: str, robust_delta: float = 0.0, ab=None,
+                   brightness: bool = False, pose_prior=None):
+    """Schur-reduced (depths eliminated) damped camera system.
+
+    Returns ``(S (F,P,F,P), rhs (F,P), D_inv (N,), E (F,N,P), b_d (N,))``
+    — the reduced normal equations BEFORE gauge fixing.  The camera block
+    has P = 6 parameters per frame (twist), or 8 with ``brightness``
+    (+ per-frame gain/bias, exactly linear).  ``pose_prior=(H, anchors)``
+    adds a Gaussian pose prior (e.g. from marginalized frames).
     """
     F = poses.q.shape[0]
     r, maskf, j_xi, j_d = _build(
@@ -166,9 +194,9 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
     )
     P = j_xi.shape[-1]
 
-    # camera diagonal blocks A_f = sum_i J_xi^T J_xi  (F, 6, 6)
+    # camera diagonal blocks A_f = sum_i J_xi^T J_xi  (F, P, P)
     A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
-    b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)  # (F, 6)
+    b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)  # (F, P)
     # depth diagonal D_i = sum_f j_d^2 + prior  (N,); the prior anchors each
     # inverse depth to its RGB-D measurement (win.idepth) with weight
     # sigma_I^2 / sigma_d^2 — photometric signal alone sits below the u8
@@ -178,7 +206,7 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
     D = jnp.sum(j_d * j_d, axis=0) + prior_weight * validf
     b_d = -jnp.sum(j_d * r, axis=0) + prior_weight * validf * (win.idepth - idepth)
     # coupling E[f, i, a] = j_xi[f,i,a] * j_d[f,i]
-    E = j_xi * j_d[..., None]  # (F, N, 6)
+    E = j_xi * j_d[..., None]  # (F, N, P)
 
     eyeP = jnp.eye(P, dtype=Float)
     # Marquardt scaling + small additive floor: a frame whose candidates all
@@ -197,6 +225,26 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
     S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
     S = S - S_fill
     rhs = b_cam - jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
+
+    if pose_prior is not None:
+        Hp, anchors = pose_prior
+        rho = _prior_residual(poses, anchors)
+        Hp_p, rho_p = _pad_prior(Hp, rho, F, P)
+        S = S + Hp_p
+        rhs = rhs - jnp.einsum("fagb,gb->fa", Hp_p, rho_p)
+    return S, rhs, D_inv, E, b_d
+
+
+def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
+             robust_delta: float = 0.0, ab=None, brightness: bool = False,
+             pose_prior=None):
+    """One damped Schur-reduced Gauss-Newton step; returns deltas."""
+    F = poses.q.shape[0]
+    S, rhs, D_inv, E, b_d = _camera_system(
+        win, poses, idepth, lm, prior_weight, method, robust_delta,
+        ab=ab, brightness=brightness, pose_prior=pose_prior,
+    )
+    P = S.shape[1]
 
     # gauge-fix frame 0 (keyframe): delta_0 = 0 (pose AND brightness)
     n = P * F
@@ -217,11 +265,15 @@ def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
 
 
 def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
-            robust_delta: float = 0.0, ab=None):
+            robust_delta: float = 0.0, ab=None, pose_prior=None):
     """(total energy, number of contributing pairs)."""
     r, maskf, _, _ = _build(win, poses, idepth, method, robust_delta, ab=ab)
     validf = win.valid.astype(Float)
     prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
+    if pose_prior is not None:
+        Hp, anchors = pose_prior
+        rho = _prior_residual(poses, anchors)
+        prior = prior + 0.5 * jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
     # count CONTRIBUTING pairs (mask > 0), not the sqrt(w)-scaled weights —
     # energy_tol is calibrated per pair
     return jnp.sum(r * r) + prior, jnp.sum((maskf > 0.0).astype(Float))
@@ -237,6 +289,7 @@ def solve_window(
     interp_method: str = "auto",
     robust_delta: float = 0.0,
     brightness: bool = False,
+    pose_prior=None,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
 
@@ -257,6 +310,11 @@ def solve_window(
     (lm_optimizer.rs:179): the quantized bilinear energy is riddled with
     micro-minima at the <0.1-intensity scale, and iterating into them chases
     resampling noise rather than signal.
+
+    ``pose_prior=(H (F,6,F,6), anchors Pose(F))`` adds a Gaussian pose prior
+    ``0.5 ρᵀHρ`` with ``ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` — the carrier for
+    marginalized-frame information in the sliding window
+    (``models.sliding_window``).  Frame 0's blocks should be zero (gauge).
     """
 
     def apply(poses, ab, idepth, d_cam, d_depth):
@@ -274,12 +332,12 @@ def solve_window(
         poses, ab, idepth, energy, lm, it, done = carry
         d_cam, d_depth = _gn_step(
             win, poses, idepth, lm, w_prior, interp_method, robust_delta,
-            ab=ab, brightness=brightness,
+            ab=ab, brightness=brightness, pose_prior=pose_prior,
         )
         new_poses, new_ab, new_idepth = apply(poses, ab, idepth, d_cam, d_depth)
         new_energy, n_pairs = _energy(
             win, new_poses, new_idepth, w_prior, interp_method, robust_delta,
-            ab=new_ab,
+            ab=new_ab, pose_prior=pose_prior,
         )
         ok = (
             jnp.isfinite(new_energy)
@@ -305,7 +363,8 @@ def solve_window(
 
     ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (win.poses.q.shape[0], 1))
     energy0, _ = _energy(
-        win, win.poses, win.idepth, w_prior, interp_method, robust_delta, ab=ab0
+        win, win.poses, win.idepth, w_prior, interp_method, robust_delta,
+        ab=ab0, pose_prior=pose_prior,
     )
     poses, ab, idepth, energy, _, it, _ = jax.lax.while_loop(
         lambda c: ~c[-1],

@@ -1,0 +1,291 @@
+"""DSO-style sliding keyframe window with frame marginalization.
+
+The reference defers "sliding window of keyframes optimization as in DSO"
+to future work (reference README.md:54-55).  This module builds it on top of
+the windowed photometric BA (``models.photometric_ba``):
+
+- a window of up to W frames anchored at a tracker-style keyframe (the
+  keyframe changes on the same mean-optical-flow >= threshold criterion as
+  the tracker, inverse_compositional.rs:221-224);
+- every incoming frame triggers a joint window solve (poses + keyframe
+  inverse depths, Schur-reduced LM);
+- when a frame departs a full window it is MARGINALIZED, not dropped: its
+  block is Schur-complemented out of the depth-reduced camera system at the
+  current linearization, leaving a Gaussian pose prior
+  ``0.5 ρᵀHρ, ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` on the remaining frames that
+  carries its photometric information forward (``solve_window(pose_prior=)``).
+
+Simplifications vs full DSO, documented on purpose:
+
+- the prior is anchored at the estimates current at marginalization time
+  with zero mean-shift (prior residual = 0 there) — the standard
+  "Gaussian centered at the marginalized MAP" form; no first-estimate
+  Jacobian bookkeeping;
+- on a keyframe switch the prior is dropped instead of being transferred to
+  the new keyframe's coordinates (the transfer needs adjoint transport and
+  is second-order for the small inter-keyframe motions the flow criterion
+  allows through).
+
+TPU notes: window tensors are fixed-shape per window length, so each length
+(2..W) jits once and is cached; the marginalization is one (P,P) solve plus
+einsums on the already-built camera system.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Intrinsics
+from ..math import pose as pose_mod
+from ..math.pose import Pose
+from ..ops import pyramid as pyramid_ops
+from ..utils.types import Float
+from . import photometric_ba
+from . import tracker as tracker_mod
+
+
+def marginalize_frame(S: jnp.ndarray, j: int, eps: float = 1e-6) -> jnp.ndarray:
+    """Schur-marginalize frame ``j`` out of a (F, P, F, P) camera system.
+
+    Returns the (F-1, 6, F-1, 6) pose-block information matrix over the
+    remaining frames (in original order with ``j`` removed); with P = 8 the
+    departing frame's brightness parameters are marginalized too, and the
+    remaining frames' brightness rows are sliced away (the prior is carried
+    on poses only).
+    """
+    F, P = S.shape[0], S.shape[1]
+    keep = [i for i in range(F) if i != j]
+    ki = jnp.asarray(keep)
+    S_kk = S[ki][:, :, ki]  # (F-1, P, F-1, P)
+    S_kj = S[ki, :, j, :]  # (F-1, P, P)
+    S_jj = S[j, :, j, :] + eps * jnp.eye(P, dtype=Float)
+    S_jj_inv = jnp.linalg.inv(S_jj)
+    # symmetric system: S[j, :, g, :] = S[g, :, j, :]^T
+    fill = jnp.einsum("fac,cd,gbd->fagb", S_kj, S_jj_inv, S_kj)
+    H = S_kk - fill
+    return H[:, :6, :, :6]
+
+
+class SlidingWindow:
+    """Streaming DSO-style sliding-window refiner.
+
+    Usage::
+
+        sw = SlidingWindow(config, intrinsics, window_size=6)
+        sw.start(depth0, gray0, c2w0)
+        for each frame: ids, poses = sw.add_frame(depth, gray, c2w_init)
+        # `ids`/`poses`: refreshed camera-to-world estimates of the frames
+        # currently in the window (update your trajectory with them)
+
+    ``c2w_init`` is the tracker's (or any) camera-to-world initialization
+    for the new frame; the window solve refines all member poses jointly.
+    """
+
+    def __init__(
+        self,
+        config: tracker_mod.TrackerConfig,
+        intrinsics: Intrinsics,
+        window_size: int = 6,
+        *,
+        marginalize: bool = True,
+        max_iterations: int = 15,
+        idepth_prior_weight: float = 1e4,
+        energy_tol: float = 0.01,
+        interp_method: str = "auto",
+        robust_delta: float = 0.0,
+        brightness: bool = False,
+    ):
+        if window_size < 2:
+            raise ValueError("window_size must be >= 2")
+        self.config = config
+        self.intrinsics = intrinsics
+        self.window_size = window_size
+        self.marginalize = marginalize
+        self._solve_opts = dict(
+            max_iterations=max_iterations,
+            idepth_prior_weight=idepth_prior_weight,
+            energy_tol=energy_tol,
+            interp_method=interp_method,
+            robust_delta=robust_delta,
+            brightness=brightness,
+        )
+        self._idepth_prior_weight = idepth_prior_weight
+        self._interp_method = interp_method
+        self._robust_delta = robust_delta
+        self._brightness = brightness
+        self._pyr = jax.jit(lambda g: pyramid_ops.mean_pyramid(config.nb_levels, g))
+        self._precompute = jax.jit(
+            lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
+        )
+        self._solve_cache = {}
+        self._system_cache = {}
+        # mutable window state
+        self.kf_levels = None
+        self.kf_c2w: Optional[Pose] = None
+        self.idepth = None
+        self.images: List[jnp.ndarray] = []  # f32 (H, W), [0] = keyframe
+        self.models: List[Pose] = []  # keyframe->frame, [0] = identity
+        self.frame_ids: List[int] = []
+        self.prior_H = None  # (F, 6, F, 6) aligned with current window slots
+        self.prior_anchors: Optional[Pose] = None
+        self.keyframe_switches = 0
+        self._next_id = 0
+
+    # -- internals ---------------------------------------------------------
+
+    def _solver(self, F: int):
+        if F not in self._solve_cache:
+            opts = dict(self._solve_opts)
+
+            def run(win, Hp, aq, at):
+                return photometric_ba.solve_window(
+                    win, pose_prior=(Hp, Pose(aq, at)), **opts
+                )
+
+            self._solve_cache[F] = jax.jit(run)
+        return self._solve_cache[F]
+
+    def _system(self, F: int):
+        if F not in self._system_cache:
+            def run(win, idepth, Hp, aq, at):
+                S, _, _, _, _ = photometric_ba._camera_system(
+                    win, win.poses, idepth, jnp.asarray(0.0, Float),
+                    jnp.asarray(self._idepth_prior_weight, Float),
+                    self._interp_method, self._robust_delta,
+                    brightness=self._brightness,
+                    pose_prior=(Hp, Pose(aq, at)),
+                )
+                return S
+
+            self._system_cache[F] = jax.jit(run)
+        return self._system_cache[F]
+
+    def _window(self, models: List[Pose], images: List[jnp.ndarray]):
+        poses = Pose(
+            jnp.stack([m.q for m in models]), jnp.stack([m.t for m in models])
+        )
+        win = photometric_ba.window_from_tracking(
+            self.config, self.intrinsics, self.kf_levels, jnp.stack(images), poses
+        )
+        return win._replace(idepth=self.idepth)
+
+    def _flow(self, model: Pose) -> float:
+        """Mean optical flow of the keyframe's coarsest-level candidates
+        under ``model`` (inverse_compositional.rs:211-222)."""
+        from ..core import camera as camera_mod
+
+        coarse = self.kf_levels[-1]
+        u, v = camera_mod.warp(model, coarse.xs, coarse.ys, coarse.idepth,
+                               coarse.intrinsics)
+        validf = coarse.valid.astype(Float)
+        d = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
+        return float(jnp.sum(d * validf) / jnp.sum(validf))
+
+    def _set_keyframe(self, depth, gray, c2w: Pose, frame_id: int):
+        pyr = self._pyr(jnp.asarray(gray))
+        kf = self._precompute(jnp.asarray(depth), pyr)
+        self.kf_levels = kf.levels
+        self.kf_c2w = c2w
+        self.idepth = kf.levels[0].idepth
+        self.images = [jnp.asarray(np.asarray(gray), jnp.float32)]
+        self.models = [pose_mod.identity()]
+        self.frame_ids = [frame_id]
+        F = 1
+        self.prior_H = jnp.zeros((F, 6, F, 6), Float)
+        self.prior_anchors = Pose(
+            jnp.stack([m.q for m in self.models]),
+            jnp.stack([m.t for m in self.models]),
+        )
+
+    def _prior_for(self, F: int):
+        """Prior aligned to the F current slots (zeros for missing tail)."""
+        Hp = jnp.zeros((F, 6, F, 6), Float)
+        k = self.prior_H.shape[0]
+        Hp = Hp.at[:k, :, :k, :].set(self.prior_H)
+        aq = jnp.stack(
+            [self.prior_anchors.q[i] if i < k else self.models[i].q for i in range(F)]
+        )
+        at = jnp.stack(
+            [self.prior_anchors.t[i] if i < k else self.models[i].t for i in range(F)]
+        )
+        return Hp, aq, at
+
+    def _marginalize_oldest(self):
+        """Fold frame 1 (oldest non-keyframe) into the pose prior, drop it."""
+        F = len(self.models)
+        Hp, aq, at = self._prior_for(F)
+        win = self._window(self.models, self.images)
+        S = self._system(F)(win, self.idepth, Hp, aq, at)
+        H_new = marginalize_frame(np.asarray(S), j=1)
+        keep = [0] + list(range(2, F))
+        self.images = [self.images[i] for i in keep]
+        self.models = [self.models[i] for i in keep]
+        self.frame_ids = [self.frame_ids[i] for i in keep]
+        self.prior_H = jnp.asarray(H_new)
+        self.prior_anchors = Pose(
+            jnp.stack([m.q for m in self.models]),
+            jnp.stack([m.t for m in self.models]),
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def start(self, depth, gray, c2w: Pose | None = None) -> int:
+        """Initialize with the first keyframe; returns its frame id."""
+        c2w = c2w if c2w is not None else pose_mod.identity()
+        fid = self._next_id
+        self._next_id += 1
+        self._set_keyframe(depth, gray, c2w, fid)
+        return fid
+
+    def add_frame(self, depth, gray, c2w_init: Pose) -> Tuple[List[int], List[Pose]]:
+        """Add a frame, refine the window, maybe switch keyframe.
+
+        Returns ``(frame_ids, refined_c2w)`` for every frame currently in
+        the window (keyframe first).  ``depth``/``gray`` are the new frame's
+        images; ``c2w_init`` its initialization (e.g. from the tracker).
+        """
+        fid = self._next_id
+        self._next_id += 1
+        # keyframe->frame model init: model = c2w_frame^-1 ∘ c2w_kf
+        model = pose_mod.compose(pose_mod.inverse(c2w_init), self.kf_c2w)
+        if len(self.models) == self.window_size:
+            if self.marginalize:
+                self._marginalize_oldest()
+            else:
+                keep = [0] + list(range(2, len(self.models)))
+                self.images = [self.images[i] for i in keep]
+                self.models = [self.models[i] for i in keep]
+                self.frame_ids = [self.frame_ids[i] for i in keep]
+                F = len(self.models)
+                self.prior_H = jnp.zeros((F, 6, F, 6), Float)
+                self.prior_anchors = Pose(
+                    jnp.stack([m.q for m in self.models]),
+                    jnp.stack([m.t for m in self.models]),
+                )
+        self.images.append(jnp.asarray(np.asarray(gray), jnp.float32))
+        self.models.append(model)
+        self.frame_ids.append(fid)
+
+        F = len(self.models)
+        Hp, aq, at = self._prior_for(F)
+        win = self._window(self.models, self.images)
+        result = self._solver(F)(win, Hp, aq, at)
+        self.idepth = result.idepth
+        self.models = [
+            Pose(result.poses.q[i], result.poses.t[i]) for i in range(F)
+        ]
+
+        ids = list(self.frame_ids)
+        refined = [
+            pose_mod.compose(self.kf_c2w, pose_mod.inverse(m)) for m in self.models
+        ]
+
+        # keyframe switch on tracker flow criterion (newest frame vs keyframe)
+        if self._flow(self.models[-1]) >= self.config.flow_threshold:
+            self._set_keyframe(depth, gray, refined[-1], fid)
+            self.keyframe_switches += 1
+        return ids, refined

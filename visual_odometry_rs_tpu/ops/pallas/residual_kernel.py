@@ -1,4 +1,17 @@
-"""Fused Pallas TPU kernel for the tracker's LM hot loop.
+"""Fused Pallas TPU kernel for the tracker's LM hot loop — RETIRED reference.
+
+STATUS: retired as a production path (round 2).  Honest scan-amortized A/B
+against the XLA one-hot evaluation at level 0 (N=4096, 480x640, TPU v5e)
+measures 0.875-0.906 ms/eval for this kernel (TILE 256/512/1024) vs
+0.847 ms for ``_eval_full(..., "onehot")`` — the MXU work of the one-hot
+formulation is identical in both, and XLA's single large fused matmul beats
+the kernel's per-tile matmuls by 3-7%.  Kept as (a) a correctness-tested
+reference for the fused warp+sample+reduce data path and (b) the starting
+point if a future Mosaic adds efficient dynamic VMEM gathers (which would
+remove the 2NHW one-hot MACs entirely — the banded-gather attempt hit
+Mosaic lowering limits, see docs/PERF.md).  No production code path routes
+here; ``interp_method="pallas"`` must be requested explicitly and raises
+when combined with robust/brightness options.
 
 One LM iteration's entire data path — se3 warp of the candidate points,
 bilinear sampling of the current image, residuals, and the masked
