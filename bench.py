@@ -91,7 +91,7 @@ def main() -> None:
         nb_frames=3, height=height, width=width, seed=0, motion_scale=0.008
     )
     intrinsics = base.intrinsics
-    cache_file = os.path.join(cache_dir, f"diverse_v1_{B}x{F}_{height}x{width}.npz")
+    cache_file = os.path.join(cache_dir, f"diverse_v2_{B}x{F}_{height}x{width}.npz")
     if os.path.exists(cache_file):
         data = np.load(cache_file)
         div_grays, div_depths = data["grays"], data["depths"]

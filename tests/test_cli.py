@@ -332,3 +332,56 @@ def test_cli_refine_sliding_reduces_injected_drift(tmp_path):
     ate_after = ate.ate_rmse([f.pose for f in refined], seq.poses[1:])
     # the fr1 preset auto-rescales to the synthetic render's exact intrinsics
     assert ate_after < 0.6 * ate_before, (ate_before, ate_after)
+
+def test_cli_slam_pipeline(tmp_path, capsys):
+    """vors_slam: track -> loop-closure -> pose graph, end to end.
+
+    An out-and-back trajectory revisits its start: the tracker must create
+    keyframes, the front-end must verify at least one loop edge between
+    them, and the optimized trajectory must stay at least as accurate as
+    the tracked one."""
+    from visual_odometry_rs_tpu.cli import vors_slam
+    from visual_odometry_rs_tpu.eval import ate
+
+    out = [[0.05, 0.004, 0.002, 0.002, -0.001, 0.001]] * 7
+    back = [[-0.05, -0.004, -0.002, -0.002, 0.001, -0.001]] * 7
+    twists = np.asarray(out + back, np.float32)
+    seq = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=47,
+        twist_per_frame=twists,
+    )
+    assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_slam.main(
+            ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "1024",
+             "--loop-min-gap", "6", "--loop-radius", "0.35",
+             "--loop-max-candidates", "4"]
+        )
+    assert rc == 0
+    err = capsys.readouterr().err
+    frames = tum_rgbd.parse_trajectory(buf.getvalue())
+    assert len(frames) == len(twists)
+    assert all(np.isfinite(np.asarray(f.pose.t)).all() for f in frames)
+    import re
+
+    m = re.search(r"(\d+) keyframes, (\d+) verified loop edges", err)
+    assert m, err
+    nb_kf, nb_edges = int(m.group(1)), int(m.group(2))
+    assert nb_kf >= 2, err
+    assert nb_edges >= 1, err
+
+    # run vors_track for the unoptimized comparison
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = vors_track.main(
+            ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "1024"]
+        )
+    assert rc == 0
+    tracked = tum_rgbd.parse_trajectory(buf2.getvalue())
+    gt = seq.poses[1:]
+    ate_slam = ate.ate_rmse([f.pose for f in frames], gt)
+    ate_track = ate.ate_rmse([f.pose for f in tracked], gt)
+    # synthetic tracking is already near-exact; SLAM must not degrade it
+    assert ate_slam <= ate_track + 2e-3, (ate_track, ate_slam)

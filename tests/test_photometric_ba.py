@@ -275,3 +275,33 @@ def test_window_degenerate_frame_regularized(window_setup):
         np.asarray(result.poses.t)[1:-1] - np.asarray(gt_poses.t)[1:-1]
     ).max()
     assert err_after < err_before, (err_before, err_after)
+
+def test_window_sharded_pose_prior_matches_single(window_setup):
+    """The sharded solve with a pose prior must equal the unsharded one
+    (prior contributions are replicated, added once after the psum)."""
+    from visual_odometry_rs_tpu.parallel import mesh as mesh_mod
+
+    seq, config, kf, images, gt_poses = window_setup
+    init = _perturbed(gt_poses, 3e-3, seed=9)
+    win = photometric_ba.window_from_tracking(
+        config, seq.intrinsics, kf.levels, images, init
+    )
+    F = gt_poses.q.shape[0]
+    Hp = jnp.zeros((F, 6, F, 6), jnp.float32)
+    for f in range(1, F):
+        Hp = Hp.at[f, :, f, :].set(50.0 * jnp.eye(6))  # soft prior at init
+    anchors = init
+    ref = jax.jit(
+        lambda w, H, aq, at: photometric_ba.solve_window(
+            w, pose_prior=(H, photometric_ba.Pose(aq, at)), max_iterations=8,
+            interp_method="gather",
+        )
+    )(win, Hp, anchors.q, anchors.t)
+    mesh = mesh_mod.make_mesh((8,), ("points",))
+    sh = photometric_ba.solve_window_sharded(
+        win, mesh, "points", pose_prior=(Hp, anchors), max_iterations=8,
+        interp_method="gather",
+    )
+    np.testing.assert_allclose(np.asarray(sh.poses.t), np.asarray(ref.poses.t), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sh.poses.q), np.asarray(ref.poses.q), atol=5e-5)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy), rtol=1e-4)

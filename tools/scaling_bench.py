@@ -25,27 +25,52 @@ def main() -> int:
     from visual_odometry_rs_tpu.models import tracker as tracker_mod
     from visual_odometry_rs_tpu.parallel import batch as batch_mod
 
-    h, w, F = 480, 640, 30
-    seq = synthetic.generate_sequence(
-        nb_frames=3, height=h, width=w, seed=0, motion_scale=0.008
-    )
+    import numpy as np
+
+    h, w, F = 480, 640, 10
     config = tracker_mod.TrackerConfig(height=h, width=w, nb_levels=6, candidate_cap=4096)
-    intr = seq.intrinsics
-    frames = [jnp.asarray(g) for g in seq.grays[1:]]
-    depth0 = jnp.asarray(seq.depths[0])
-    gray0 = jnp.asarray(seq.grays[0])
+
+    # DIVERSE lanes (distinct textures + motion magnitudes) so keyframe
+    # switches desynchronize — same honesty standard as bench.py; reuses
+    # bench.py's on-disk cache when present.
+    import pathlib as _pl
+
+    cache_file = (
+        _pl.Path(__file__).resolve().parents[1]
+        / ".bench_cache" / f"diverse_v2_32x{F}_{h}x{w}.npz"
+    )
+    base = synthetic.generate_sequence(nb_frames=1, height=h, width=w, seed=0)
+    intr = base.intrinsics
+    if cache_file.exists():
+        data = np.load(cache_file)
+        div_grays, div_depths = data["grays"], data["depths"]
+    else:
+        rng = np.random.default_rng(42)
+        seqs = []
+        for lane in range(32):
+            mag = 0.004 + 0.036 * lane / 31
+            direction = rng.normal(size=3)
+            direction = mag * direction / np.linalg.norm(direction)
+            rot = 0.002 * rng.normal(size=3)
+            seqs.append(
+                synthetic.generate_sequence(
+                    nb_frames=F + 1, height=h, width=w, seed=100 + lane,
+                    intrinsics=intr,
+                    twist_per_frame=np.concatenate([direction, rot]),
+                )
+            )
+        div_grays = np.stack([s.grays for s in seqs])
+        div_depths = np.stack([s.depths for s in seqs])
+        cache_file.parent.mkdir(exist_ok=True)
+        np.savez_compressed(cache_file, grays=div_grays, depths=div_depths)
 
     base_fps = None
     for B in (1, 2, 4, 8, 16, 32):
-        depths_b = jnp.broadcast_to(depth0, (B, h, w))
-        grays_b = jnp.broadcast_to(gray0, (B, h, w))
         state = jax.jit(
             lambda d, g: batch_mod.batched_init_state(config, intr, d, g)
-        )(depths_b, grays_b)
-        clip_d = jnp.broadcast_to(depth0, (F, B, h, w))
-        clip_g = jnp.stack(
-            [jnp.broadcast_to(frames[i % len(frames)], (B, h, w)) for i in range(F)]
-        )
+        )(jnp.asarray(div_depths[:B, 0]), jnp.asarray(div_grays[:B, 0]))
+        clip_d = jnp.asarray(div_depths[:B, 1:].transpose(1, 0, 2, 3))
+        clip_g = jnp.asarray(div_grays[:B, 1:].transpose(1, 0, 2, 3))
 
         @jax.jit
         def run_clip(s, dd, gg):

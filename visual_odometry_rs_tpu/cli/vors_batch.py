@@ -65,6 +65,13 @@ def main(argv=None) -> int:
         "the pose — for auto-exposure cameras",
     )
     args = parser.parse_args(argv)
+    if args.interp == "pallas" and (args.robust_delta > 0.0 or args.brightness_model):
+        print(
+            "--interp pallas is a retired reference kernel and does not "
+            "support --robust-delta/--brightness-model (see docs/PERF.md)",
+            file=sys.stderr,
+        )
+        return 1
 
     _common.apply_compilation_cache(args)
     if args.cpu:

@@ -1,0 +1,184 @@
+"""CLI: full SLAM pipeline — track, detect loop closures, optimize the graph.
+
+    python -m visual_odometry_rs_tpu.cli.vors_slam fr1 associations.txt > traj.txt
+
+The reference's stated long-term vision is "a functional SLAM system" with
+loop closure and pose-graph optimization deferred to future work
+(reference README.md:7, :54-55).  This CLI is that pipeline, end to end:
+
+1. **Track** every frame with the production tracker (same semantics as
+   ``vors_track``), recording which frames became keyframes.
+2. **Detect loops** between keyframes: pose-proximity proposal +
+   photometric verification with the tracker's own coarse-to-fine
+   alignment (``models.loop_closure``); keyframe depth/gray images are
+   retained for verification.
+3. **Optimize** a pose graph over the keyframes (odometry chain composed
+   from the tracked trajectory + verified loop edges,
+   ``parallel.pose_graph``), then anchor every intermediate frame to its
+   preceding keyframe's correction.
+
+Outputs the optimized TUM trajectory on stdout; diagnostics (per-frame flow,
+proposed/verified loop pairs, graph energy) on stderr.  With no verified
+loops the output equals the tracked trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import _common
+
+USAGE = "Usage: vors_slam [fr1|fr2|fr3|icl] associations_file"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(usage=USAGE)
+    parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
+    parser.add_argument("associations_file")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument("--nb-levels", type=int, default=6)
+    parser.add_argument("--diff-threshold", type=int, default=7)
+    parser.add_argument("--candidate-cap", type=int, default=8192)
+    parser.add_argument(
+        "--interp", choices=["auto", "gather", "onehot", "onehot_weighted"],
+        default="auto",
+    )
+    _common.add_compilation_cache_arg(parser)
+    # loop-closure gates (models/loop_closure.py defaults are conservative)
+    parser.add_argument("--loop-radius", type=float, default=0.5,
+                        help="max estimated distance between loop endpoints (m)")
+    parser.add_argument("--loop-max-angle", type=float, default=0.6,
+                        help="max estimated relative rotation (rad)")
+    parser.add_argument("--loop-min-gap", type=int, default=10,
+                        help="min temporal separation in FRAMES")
+    parser.add_argument("--loop-max-candidates", type=int, default=16)
+    parser.add_argument("--loop-energy-accept", type=float, default=300.0,
+                        help="max mean squared intensity for a verified edge")
+    args = parser.parse_args(argv)
+
+    _common.apply_compilation_cache(args)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dataset import tum_rgbd
+    from ..math import pose as pose_mod
+    from ..math.pose import Pose
+    from ..models import loop_closure, tracker as tracker_mod
+    from ..parallel import pose_graph
+
+    try:
+        associations = tum_rgbd.load_associations(args.associations_file)
+    except OSError as e:
+        print(USAGE, file=sys.stderr)
+        print(f"Cannot read associations: {e}", file=sys.stderr)
+        return 1
+    if not associations:
+        print("Empty associations file", file=sys.stderr)
+        return 1
+
+    depth0, gray0 = tum_rgbd.read_images(associations[0])
+    h, w = gray0.shape
+    intrinsics = tum_rgbd.scaled_intrinsics(args.camera_id, h, w)
+    if (h, w) != (tum_rgbd.NATIVE_HEIGHT, tum_rgbd.NATIVE_WIDTH):
+        print(f"note: {args.camera_id} intrinsics rescaled to {w}x{h} inputs",
+              file=sys.stderr)
+    config = tracker_mod.TrackerConfig(
+        height=h, width=w,
+        nb_levels=args.nb_levels,
+        candidates_diff_threshold=args.diff_threshold,
+        depth_scale=tum_rgbd.DEPTH_SCALE,
+        idepth_variance=1e-4,
+        candidate_cap=args.candidate_cap,
+        interp_method=args.interp,
+    )
+
+    # --- 1. track ---------------------------------------------------------
+    trk = tracker_mod.init_tracker(
+        config, intrinsics,
+        associations[0].depth_timestamp, jnp.asarray(depth0),
+        associations[0].color_timestamp, jnp.asarray(gray0),
+    )
+    trajectory = [pose_mod.identity()]
+    timestamps = [associations[0].depth_timestamp]
+    keyframe_ids = [0]
+    kf_images = {0: (depth0, gray0)}
+    for idx, (assoc, (depth, gray)) in enumerate(
+        zip(associations[1:], tum_rgbd.frame_loader(associations[1:])), start=1
+    ):
+        before = trk.keyframe_switches
+        trk.track(assoc.depth_timestamp, jnp.asarray(depth),
+                  assoc.color_timestamp, jnp.asarray(gray))
+        print(f"Optical_flow: {trk.last_flow}", file=sys.stderr)
+        ts, pose = trk.current_frame()
+        trajectory.append(pose)
+        timestamps.append(ts)
+        if trk.keyframe_switches > before:
+            keyframe_ids.append(idx)
+            kf_images[idx] = (depth, gray)
+
+    # --- 2. loop closure over keyframes -----------------------------------
+    lc = loop_closure.LoopClosureConfig(
+        radius=args.loop_radius,
+        max_angle=args.loop_max_angle,
+        min_gap=args.loop_min_gap,  # in frames; node_ids carries frame ids
+        max_candidates=args.loop_max_candidates,
+        energy_accept=args.loop_energy_accept,
+    )
+    kf_poses = [trajectory[i] for i in keyframe_ids]
+    kf_depths = [kf_images[i][0] for i in keyframe_ids]
+    kf_grays = [kf_images[i][1] for i in keyframe_ids]
+    edges = loop_closure.detect_loops(
+        config, intrinsics, kf_poses, kf_depths, kf_grays, lc,
+        node_ids=keyframe_ids,
+    )
+    print(
+        f"{len(keyframe_ids)} keyframes, {len(edges)} verified loop edges",
+        file=sys.stderr,
+    )
+    for (i, j, _z, energy) in edges:
+        print(
+            f"loop edge: frames {keyframe_ids[i]} <-> {keyframe_ids[j]} "
+            f"(energy {energy:.1f})",
+            file=sys.stderr,
+        )
+
+    optimized = list(trajectory)
+    if edges:
+        # --- 3. pose-graph over keyframes + anchor intermediates ----------
+        nodes = Pose(
+            jnp.stack([p.q for p in kf_poses]), jnp.stack([p.t for p in kf_poses])
+        )
+        graph = pose_graph.odometry_graph(
+            nodes, loop_edges=[(i, j, z) for i, j, z, _ in edges]
+        )
+        result = pose_graph.solve(graph, max_iterations=30)
+        print(
+            f"pose graph: energy {float(result.energy):.3e} after "
+            f"{int(result.nb_iter)} iterations",
+            file=sys.stderr,
+        )
+        # correction of keyframe k: C_k = T_k_opt ∘ T_k_est⁻¹; intermediate
+        # frames inherit the preceding keyframe's correction
+        corrections = {}
+        for n, fid in enumerate(keyframe_ids):
+            opt = Pose(result.nodes.q[n], result.nodes.t[n])
+            corrections[fid] = pose_mod.compose(opt, pose_mod.inverse(trajectory[fid]))
+        current = pose_mod.identity()
+        for f in range(len(trajectory)):
+            if f in corrections:
+                current = corrections[f]
+            optimized[f] = pose_mod.compose(current, trajectory[f])
+
+    for ts, pose in zip(timestamps[1:], optimized[1:]):
+        print(tum_rgbd.Frame(timestamp=ts, pose=pose).to_string())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

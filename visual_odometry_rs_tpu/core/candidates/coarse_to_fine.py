@@ -55,7 +55,14 @@ def _prune_block(thresh, a, b, c, d):
 
 
 def _merge_block_masks(ka, kb, kc, kd):
-    """Reassemble 4 corner masks (H/2, W/2) into a full-res mask (H, W)."""
+    """Reassemble 4 corner masks (H/2, W/2) into a full-res mask (H, W).
+
+    STATIC strided ``.at[::2].set`` updates are constant-index slice
+    updates, not dynamic scatters — measured 2.4x FASTER than a
+    stack+reshape interleave in the batched select (4.5 vs 11 ms at batch
+    32; the interleave forces layout transposes).  Only *dynamic*-index
+    gathers/scatters carry the big in-context penalty (docs/PERF.md).
+    """
     h2, w2 = ka.shape[-2:]
     out = jnp.zeros((*ka.shape[:-2], 2 * h2, 2 * w2), dtype=bool)
     out = out.at[..., 0::2, 0::2].set(ka)

@@ -58,20 +58,25 @@ def _stack(poses: Sequence[Pose]) -> Pose:
 
 
 def propose_candidates(
-    poses: Sequence[Pose], lc: LoopClosureConfig
+    poses: Sequence[Pose], lc: LoopClosureConfig, node_ids=None
 ) -> List[Tuple[int, int]]:
-    """Candidate loop pairs (i, j), i > j + min_gap, by pose proximity.
+    """Candidate loop pairs (i, j), i > j with temporal gap > min_gap, by
+    pose proximity.
 
     Returns pairs ordered by estimated distance (closest first), at most
     ``max_candidates``.  Proximity is evaluated on the given (drifty)
-    estimates — verification decides truth.
+    estimates — verification decides truth.  ``node_ids`` (optional) maps
+    each pose to its temporal identity (e.g. frame index when the poses are
+    a keyframe subset); the gap gate uses these ids, defaulting to list
+    positions.
     """
     P = _stack(poses)
     t = np.asarray(P.t)  # (N, 3)
     q = np.asarray(P.q)
     n = t.shape[0]
+    ids = np.asarray(node_ids if node_ids is not None else np.arange(n))
     ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    gap_ok = ii - jj > lc.min_gap
+    gap_ok = ids[ii] - ids[jj] > lc.min_gap
     dist = np.linalg.norm(t[ii] - t[jj], axis=-1)
     # relative rotation angle from |<q_i, q_j>|: angle = 2 acos(|dot|)
     dots = np.abs(np.sum(q[ii] * q[jj], axis=-1))
@@ -89,6 +94,7 @@ def detect_loops(
     depths: Sequence,
     grays: Sequence,
     lc: LoopClosureConfig = LoopClosureConfig(),
+    node_ids=None,
 ):
     """Propose + verify loop closures over a trajectory.
 
@@ -98,7 +104,7 @@ def detect_loops(
     ``parallel.pose_graph`` measurement convention ``Z_ij = T_i⁻¹ T_j``
     (feed directly into ``pose_graph.odometry_graph(loop_edges=...)``).
     """
-    pairs = propose_candidates(poses, lc)
+    pairs = propose_candidates(poses, lc, node_ids=node_ids)
     if not pairs:
         return []
 

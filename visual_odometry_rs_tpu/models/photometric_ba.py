@@ -389,6 +389,7 @@ def solve_window_sharded(
     interp_method: str = "auto",
     robust_delta: float = 0.0,
     brightness: bool = False,
+    pose_prior=None,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
@@ -404,7 +405,7 @@ def solve_window_sharded(
 
     w_prior = jnp.asarray(idepth_prior_weight, Float)
 
-    def sharded(win_local: Window) -> WindowResult:
+    def sharded(win_local: Window, prior) -> WindowResult:
         F = win_local.poses.q.shape[0]
 
         def energy_of(poses, ab, idepth):
@@ -412,7 +413,14 @@ def solve_window_sharded(
                 win_local, poses, idepth, w_prior, interp_method, robust_delta,
                 ab=ab,
             )
-            return _jax.lax.psum(e, axis), _jax.lax.psum(n, axis)
+            e = _jax.lax.psum(e, axis)
+            n = _jax.lax.psum(n, axis)
+            if prior is not None:
+                # prior term is replicated: add ONCE after the psum
+                Hp, anchors = prior
+                rho = _prior_residual(poses, anchors)
+                e = e + 0.5 * jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
+            return e, n
 
         def gn(poses, ab, idepth, lm):
             r, maskf, j_xi, j_d = _build(
@@ -445,6 +453,12 @@ def solve_window_sharded(
             S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
             S = S - S_fill
             rhs = b_cam - rhs_fill
+            if prior is not None:
+                Hp, anchors = prior
+                rho = _prior_residual(poses, anchors)
+                Hp_p, rho_p = _pad_prior(Hp, rho, F, P)
+                S = S + Hp_p
+                rhs = rhs - jnp.einsum("fagb,gb->fa", Hp_p, rho_p)
             n = P * F
             S2 = S.reshape(n, n)
             rhs2 = rhs.reshape(n)
@@ -533,8 +547,17 @@ def solve_window_sharded(
         poses=Pose(q=P_(), t=P_()), idepth=P_(axis), energy=P_(), nb_iter=P_(),
         ab=P_(),
     )
-    fn = jax.shard_map(sharded, mesh=mesh, in_specs=(spec,), out_specs=out_spec)
-    return fn(win)
+    if pose_prior is None:
+        fn = jax.shard_map(
+            lambda w: sharded(w, None), mesh=mesh, in_specs=(spec,),
+            out_specs=out_spec,
+        )
+        return fn(win)
+    prior_spec = (P_(), Pose(q=P_(), t=P_()))  # replicated
+    fn = jax.shard_map(
+        sharded, mesh=mesh, in_specs=(spec, prior_spec), out_specs=out_spec
+    )
+    return fn(win, pose_prior)
 
 
 def window_from_tracking(

@@ -175,15 +175,21 @@ class SlidingWindow:
 
     def _flow(self, model: Pose) -> float:
         """Mean optical flow of the keyframe's coarsest-level candidates
-        under ``model`` (inverse_compositional.rs:211-222)."""
-        from ..core import camera as camera_mod
+        under ``model`` (inverse_compositional.rs:211-222).  Jitted: unjitted
+        ops cost one tunnel round trip EACH on remote TPU transports."""
+        if not hasattr(self, "_flow_fn"):
+            from ..core import camera as camera_mod
 
-        coarse = self.kf_levels[-1]
-        u, v = camera_mod.warp(model, coarse.xs, coarse.ys, coarse.idepth,
-                               coarse.intrinsics)
-        validf = coarse.valid.astype(Float)
-        d = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
-        return float(jnp.sum(d * validf) / jnp.sum(validf))
+            def flow(coarse, model):
+                u, v = camera_mod.warp(
+                    model, coarse.xs, coarse.ys, coarse.idepth, coarse.intrinsics
+                )
+                validf = coarse.valid.astype(Float)
+                d = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
+                return jnp.sum(d * validf) / jnp.sum(validf)
+
+            self._flow_fn = jax.jit(flow)
+        return float(self._flow_fn(self.kf_levels[-1], model))
 
     def _set_keyframe(self, depth, gray, c2w: Pose, frame_id: int):
         pyr = self._pyr(jnp.asarray(gray))
@@ -250,8 +256,22 @@ class SlidingWindow:
         """
         fid = self._next_id
         self._next_id += 1
+        if not hasattr(self, "_rel_fn"):
+            # jitted host-pose helpers: unjitted jnp ops are one tunnel
+            # round trip each on remote TPU transports
+            self._rel_fn = jax.jit(
+                lambda c2w, kf: pose_mod.compose(pose_mod.inverse(c2w), kf)
+            )
+            self._refined_fn = jax.jit(
+                jax.vmap(
+                    lambda kq, kt, mq, mt: pose_mod.compose(
+                        Pose(kq, kt), pose_mod.inverse(Pose(mq, mt))
+                    ),
+                    in_axes=(None, None, 0, 0),
+                )
+            )
         # keyframe->frame model init: model = c2w_frame^-1 ∘ c2w_kf
-        model = pose_mod.compose(pose_mod.inverse(c2w_init), self.kf_c2w)
+        model = self._rel_fn(c2w_init, self.kf_c2w)
         if len(self.models) == self.window_size:
             if self.marginalize:
                 self._marginalize_oldest()
@@ -280,9 +300,12 @@ class SlidingWindow:
         ]
 
         ids = list(self.frame_ids)
-        refined = [
-            pose_mod.compose(self.kf_c2w, pose_mod.inverse(m)) for m in self.models
-        ]
+        ref = self._refined_fn(
+            self.kf_c2w.q, self.kf_c2w.t,
+            jnp.stack([m.q for m in self.models]),
+            jnp.stack([m.t for m in self.models]),
+        )
+        refined = [Pose(ref.q[i], ref.t[i]) for i in range(F)]
 
         # keyframe switch on tracker flow criterion (newest frame vs keyframe)
         if self._flow(self.models[-1]) >= self.config.flow_threshold:

@@ -162,8 +162,16 @@ def solve(graph: PoseGraph, *, max_iterations: int = 20) -> PGOResult:
 def odometry_graph(nodes: Pose, loop_edges=(), noise_weight: float = 1.0) -> PoseGraph:
     """Build a chain pose graph from a trajectory plus optional loop edges.
 
-    ``loop_edges`` is an iterable of (i, j, Pose) measured relative motions.
-    Chain measurements are taken from consecutive node estimates.
+    ``loop_edges`` is an iterable of (i, j, Pose) measured relative motions
+    (e.g. from ``models.loop_closure.detect_loops``).
+
+    CAVEAT: chain measurements are taken from the consecutive node
+    *estimates*, so every chain edge has zero residual at initialization —
+    all correction signal comes from the loop edges, which the optimizer
+    distributes around the loop.  This is the right structure when the
+    estimates ARE the odometry (the usual case); if you have independent
+    odometry measurements with their own noise, build the ``PoseGraph``
+    directly with those as ``edge_z`` instead.
     """
     N = nodes.q.shape[0]
     ii = [i for i in range(N - 1)]
