@@ -33,10 +33,10 @@ def test_cli_tracks_and_prints_trajectory(tmp_path, capsys):
     assert len(frames) == 3  # frames 1..3 (frame 0 initializes)
 
     estimated = [pose_mod.identity()] + [f.pose for f in frames]
-    # CLI uses fr1 intrinsics (for 640x480) on a 160x120 render made with
-    # scaled intrinsics -> expect rough tracking only; this test checks the
-    # plumbing (files -> tracker -> stdout format), not accuracy.
-    assert all(np.isfinite(np.asarray(f.pose.t)).all() for f in frames)
+    # presets auto-rescale to the render's exact intrinsics -> the CLI path
+    # is now millimeter-accurate end to end, not just plumbing
+    err = ate.ate_rmse(estimated, seq.poses)
+    assert err < 5e-3, err
 
 
 def test_cli_accurate_with_matching_intrinsics(tmp_path):

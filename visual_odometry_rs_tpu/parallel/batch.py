@@ -197,6 +197,13 @@ def _lazy_switch_step(
         check = jnp.logical_and(do_check, jnp.any(pending_all))
 
     def recompute(kf_old, kf_pose_old):
+        # All lanes recompute, per-lane select.  The "per-lane cond via
+        # scan-over-lanes" alternative (only switching lanes execute the
+        # precompute, serially) was implemented and MEASURED WORSE on the
+        # diverse benchmark: 853 vs 1066 fps at cadence 1, and 1024 vs 1913
+        # at cadence 4 — batch-1 precomputes underutilize the MXU and the
+        # scan serializes them, which loses badly exactly when cadence
+        # batching concentrates many lane-switches onto one frame.
         new_kf = vm(
             lambda d1, *p: tracker_mod.precompute_keyframe(
                 config, intrinsics, d1, list(p)
