@@ -115,3 +115,31 @@ def test_session_metrics():
     import json
 
     json.loads(s.frames[0].to_json())
+
+def test_cli_resume_mismatch_clean_error(tmp_path, capsys):
+    """--resume with an incompatible checkpoint must print a clean error and
+    return 1, not traceback (old checkpoints lack format_version 2)."""
+    from visual_odometry_rs_tpu.cli import vors_track
+    from visual_odometry_rs_tpu.dataset import tum_rgbd
+
+    seq = synthetic.generate_sequence(nb_frames=2, height=48, width=64, seed=0)
+    assoc = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3, candidate_cap=256)
+    trk = tracker_mod.init_tracker(
+        config, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]), 0.0,
+        jnp.asarray(seq.grays[0]),
+    )
+    path = str(tmp_path / "old.npz")
+    # simulate a pre-versioning checkpoint: same layout, no fingerprint
+    checkpoint.save_pytree(
+        path,
+        {"keyframe_data": trk.keyframe_data, "keyframe_pose": trk.keyframe_pose,
+         "current_pose": trk.current_pose},
+        {"format_version": 1},
+    )
+    rc = vors_track.main(
+        ["fr1", assoc, "--nb-levels", "3", "--candidate-cap", "256",
+         "--resume", path]
+    )
+    assert rc == 1
+    assert "Cannot resume" in capsys.readouterr().err

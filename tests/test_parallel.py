@@ -334,3 +334,43 @@ def test_batched_switch_cadence():
     lanes1 = sw1.any(axis=0)
     lanes3 = sw3.any(axis=0)
     assert (lanes3 >= lanes1).all(), (lanes1, lanes3)
+
+def test_track_sequence_scan_matches_stepwise_strict(seqs):
+    """Single-LM-iteration variant with a sharp tolerance: with DECISIVE
+    motion (every level's first step gives a large energy drop) the one
+    accept decision per level cannot flip between compilations, so scan and
+    stepwise must agree to f32 reassociation only — this preserves the
+    regression power that the basin-tolerance full test gives up (e.g. a
+    wrong-keyframe bug shifts poses at the 1e-2 scale and WOULD pass the
+    loose test)."""
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256, max_iterations=1
+    )
+    seq = synthetic.generate_sequence(
+        nb_frames=3, height=48, width=64, seed=2,
+        twist_per_frame=[0.05, 0.01, 0.0, 0.0, 0.0, 0.0],
+    )
+    intrinsics = seq.intrinsics
+    d = jnp.asarray(np.stack(seq.depths))
+    g = jnp.asarray(np.stack(seq.grays))
+
+    state0 = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    final, (poses, diags) = jax.jit(
+        lambda s, dd, gg: batch_mod.track_sequence(config, intrinsics, s, dd, gg)
+    )(state0, d[1:], g[1:])
+
+    s = batch_mod.init_state(config, intrinsics, d[0], g[0])
+    for f in range(1, d.shape[0]):
+        s, dg = batch_mod.track_step(config, intrinsics, s, d[f], g[f])
+        # residual difference is reassociation amplified through the 6x6
+        # Cholesky solves (~2.5e-4 measured) — 40x below the ~1e-2 shifts a
+        # wiring bug produces
+        np.testing.assert_allclose(
+            np.asarray(poses.t[f - 1]), np.asarray(s.current_pose.t), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            float(diags.flow[f - 1]), float(dg.flow), rtol=1e-2, atol=1e-3
+        )
+    np.testing.assert_allclose(
+        np.asarray(final.current_pose.t), np.asarray(s.current_pose.t), atol=5e-4
+    )

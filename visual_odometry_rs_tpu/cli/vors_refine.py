@@ -51,6 +51,11 @@ def main(argv=None) -> int:
         "--no-marginalization", action="store_true",
         help="sliding mode: drop departed frames instead of marginalizing",
     )
+    parser.add_argument(
+        "--coarse-level", type=int, default=1,
+        help="sliding mode: pyramid level of the pose-only pre-solve that "
+        "widens the convergence basin (0 disables)",
+    )
     parser.add_argument("--nb-levels", type=int, default=6,
                         help="pyramid depth for candidate selection")
     parser.add_argument("--candidate-cap", type=int, default=2048)
@@ -140,6 +145,7 @@ def main(argv=None) -> int:
             config, intrinsics,
             window_size=max(2, args.window),
             marginalize=not args.no_marginalization,
+            coarse_level=args.coarse_level,
             max_iterations=args.max_iterations,
             idepth_prior_weight=args.idepth_prior_weight,
             energy_tol=args.energy_tol,

@@ -140,7 +140,14 @@ def main(argv=None) -> int:
     )
 
     if args.resume:
-        checkpoint_mod.load_tracker(args.resume, trk)
+        try:
+            checkpoint_mod.load_tracker(args.resume, trk)
+        except checkpoint_mod.CheckpointMismatchError as e:
+            print(f"Cannot resume: {e}", file=sys.stderr)
+            return 1
+        except (OSError, KeyError, ValueError) as e:
+            print(f"Cannot read checkpoint {args.resume}: {e}", file=sys.stderr)
+            return 1
 
     session = metrics_mod.SessionMetrics()
     # Native prefetch loader: PNG decode of upcoming frames overlaps the

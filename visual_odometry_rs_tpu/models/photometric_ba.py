@@ -157,9 +157,10 @@ def _prior_residual(poses: Pose, anchors: Pose) -> jnp.ndarray:
     """Per-frame prior residual ρ_f = log(anchor_f⁻¹ ∘ pose_f), (F, 6).
 
     The solver's update is right-multiplicative (``pose ∘ exp(δ)``), so a
-    step δ maps ρ → ρ + δ to first order — a Gaussian pose prior
-    ``0.5 (ρ+δ)ᵀ H (ρ+δ)`` contributes H to the camera system and -Hρ to
-    the right-hand side.
+    step δ maps ρ → ρ + δ to first order — a Gaussian pose prior with
+    energy ``(ρ+δ)ᵀ H (ρ+δ)`` (un-halved, matching the sum-r² photometric
+    convention) contributes H to the camera system and -Hρ to the
+    right-hand side.
     """
     return jax.vmap(
         lambda qa, ta, q, t: se3.log(
@@ -271,9 +272,13 @@ def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
     validf = win.valid.astype(Float)
     prior = prior_weight * jnp.sum(validf * (idepth - win.idepth) ** 2)
     if pose_prior is not None:
+        # energy convention here is UN-halved (photometric part is sum r^2
+        # with system J^T J / -J^T r), so the prior's energy is rho^T H rho
+        # — a 0.5 factor would make LM accept/reject monitor a different
+        # objective than the one the normal equations minimize
         Hp, anchors = pose_prior
         rho = _prior_residual(poses, anchors)
-        prior = prior + 0.5 * jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
+        prior = prior + jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
     # count CONTRIBUTING pairs (mask > 0), not the sqrt(w)-scaled weights —
     # energy_tol is calibrated per pair
     return jnp.sum(r * r) + prior, jnp.sum((maskf > 0.0).astype(Float))
@@ -290,6 +295,10 @@ def solve_window(
     robust_delta: float = 0.0,
     brightness: bool = False,
     pose_prior=None,
+    min_pair_ratio: float = 0.7,
+    max_step: float = 0.02,
+    max_depth_step: float = 0.2,
+    pose_only_iterations: int = 5,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
 
@@ -312,12 +321,51 @@ def solve_window(
     resampling noise rather than signal.
 
     ``pose_prior=(H (F,6,F,6), anchors Pose(F))`` adds a Gaussian pose prior
-    ``0.5 ρᵀHρ`` with ``ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` — the carrier for
+    with energy ``ρᵀHρ``, ``ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` — the carrier for
     marginalized-frame information in the sliding window
     (``models.sliding_window``).  Frame 0's blocks should be zero (gauge).
+
+    ``min_pair_ratio``: visibility guard.  The energy sums over IN-VIEW
+    pairs, so moving a frame out of view deletes its residuals and "lowers"
+    the energy — a degenerate escape direction LM can find (observed: a
+    window solve flinging its newest frame half a meter, verified by the
+    CLI drive).  A step is therefore rejected if it keeps fewer than
+    ``min_pair_ratio`` of the pairs contributing at initialization; honest
+    refinement keeps nearly all pairs in view.
+
+    ``max_step`` / ``max_depth_step``: trust region.  The window solves at
+    FULL resolution only (its inits come from coarse-to-fine tracking), and
+    periodic texture gives the photometric energy aliasing valleys a few
+    pixels apart; a near-Gauss-Newton first step can jump the ridge into a
+    false valley while still lowering the energy (observed on a synthetic
+    sinusoid texture: a window descended from a sub-pixel-correct init to a
+    half-meter-wrong "minimum").  Per accepted iteration the pose twist is
+    capped at ``max_step`` (norm, per frame; direction kept) and the
+    inverse-depth change at ``max_depth_step`` relative — crossing a ridge
+    then requires going uphill, which LM rejects.  Gross-error correction
+    is still reachable gradually (max_iterations * max_step).
+
+    ``pose_only_iterations``: staged optimization.  The joint pose+depth
+    objective has co-drift valleys (a z-translation compensated by a depth
+    rescale keeps points registered while both walk away from truth — the
+    monocular scale ambiguity, only weakly pinned by the sensor prior);
+    measured: from a 1 px drifted init the joint solve can descend
+    monotonically into a valley 0.2 m off while a depth-frozen solve lands
+    within ~1 mm in 5 iterations.  Stage 1 therefore freezes depths for up
+    to ``pose_only_iterations`` LM iterations; stage 2 refines jointly from
+    inside the correct basin.  Set 0 to disable (pure joint solve).
     """
 
-    def apply(poses, ab, idepth, d_cam, d_depth):
+    def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
+        # trust region: cap per-frame twist norm, keep direction
+        norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
+        scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
+        d_cam = d_cam * scale
+        d_depth = jnp.clip(
+            d_depth, -max_depth_step * idepth, max_depth_step * idepth
+        )
+        if freeze_depth:
+            d_depth = jnp.zeros_like(d_depth)
         new_poses = jax.vmap(lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi)))(
             poses.q, poses.t, d_cam[:, :6]
         )
@@ -328,52 +376,66 @@ def solve_window(
 
     w_prior = jnp.asarray(idepth_prior_weight, Float)
 
-    def body(carry):
-        poses, ab, idepth, energy, lm, it, done = carry
-        d_cam, d_depth = _gn_step(
-            win, poses, idepth, lm, w_prior, interp_method, robust_delta,
-            ab=ab, brightness=brightness, pose_prior=pose_prior,
-        )
-        new_poses, new_ab, new_idepth = apply(poses, ab, idepth, d_cam, d_depth)
-        new_energy, n_pairs = _energy(
-            win, new_poses, new_idepth, w_prior, interp_method, robust_delta,
-            ab=new_ab, pose_prior=pose_prior,
-        )
-        ok = (
-            jnp.isfinite(new_energy)
-            & (new_energy <= energy)
-            & jnp.all(jnp.isfinite(new_poses.q))
-            & jnp.all(jnp.isfinite(new_poses.t))
-            & jnp.all(jnp.isfinite(new_ab))
-            & jnp.all(jnp.isfinite(new_idepth))
-        )
-        poses = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_poses, poses
-        )
-        ab = jnp.where(ok, new_ab, ab)
-        idepth = jnp.where(ok, new_idepth, idepth)
-        lm = jnp.where(ok, lm * 0.3, lm * 10.0)
-        d_energy = energy - new_energy
-        done = jnp.logical_or(
-            it + 1 >= max_iterations,
-            jnp.logical_and(ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)),
-        )
-        energy = jnp.where(ok, new_energy, energy)
-        return poses, ab, idepth, energy, lm, it + 1, done
+    def make_body(freeze_depth, stage_max_iter):
+        def body(carry):
+            poses, ab, idepth, energy, lm, it, done = carry
+            d_cam, d_depth = _gn_step(
+                win, poses, idepth, lm, w_prior, interp_method, robust_delta,
+                ab=ab, brightness=brightness, pose_prior=pose_prior,
+            )
+            new_poses, new_ab, new_idepth = apply(
+                poses, ab, idepth, d_cam, d_depth, freeze_depth
+            )
+            new_energy, n_pairs = _energy(
+                win, new_poses, new_idepth, w_prior, interp_method, robust_delta,
+                ab=new_ab, pose_prior=pose_prior,
+            )
+            ok = (
+                jnp.isfinite(new_energy)
+                & (new_energy <= energy)
+                & (n_pairs >= min_pair_ratio * n_pairs0)  # visibility guard
+                & jnp.all(jnp.isfinite(new_poses.q))
+                & jnp.all(jnp.isfinite(new_poses.t))
+                & jnp.all(jnp.isfinite(new_ab))
+                & jnp.all(jnp.isfinite(new_idepth))
+            )
+            poses = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_poses, poses
+            )
+            ab = jnp.where(ok, new_ab, ab)
+            idepth = jnp.where(ok, new_idepth, idepth)
+            lm = jnp.where(ok, lm * 0.3, lm * 10.0)
+            d_energy = energy - new_energy
+            done = jnp.logical_or(
+                it + 1 >= stage_max_iter,
+                jnp.logical_and(ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)),
+            )
+            energy = jnp.where(ok, new_energy, energy)
+            return poses, ab, idepth, energy, lm, it + 1, done
+        return body
 
     ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (win.poses.q.shape[0], 1))
-    energy0, _ = _energy(
+    energy0, n_pairs0 = _energy(
         win, win.poses, win.idepth, w_prior, interp_method, robust_delta,
         ab=ab0, pose_prior=pose_prior,
     )
-    poses, ab, idepth, energy, _, it, _ = jax.lax.while_loop(
-        lambda c: ~c[-1],
-        body,
-        (
-            win.poses, ab0, win.idepth, energy0,
-            jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
-        ),
+    carry = (
+        win.poses, ab0, win.idepth, energy0,
+        jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
+    stage1 = min(pose_only_iterations, max_iterations)
+    if stage1 > 0:
+        carry = jax.lax.while_loop(
+            lambda c: ~c[-1], make_body(True, stage1), carry
+        )
+    if stage1 < max_iterations:
+        # reset the done flag (keep λ/energy) for the joint stage;
+        # pose_only_iterations >= max_iterations means a pure pose solve
+        carry = (*carry[:6], jnp.asarray(False))
+        carry = jax.lax.while_loop(
+            lambda c: ~c[-1], make_body(False, max_iterations), carry
+        )
+    poses, ab, idepth, energy, _, it, _ = carry
     return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab)
 
 
@@ -390,6 +452,10 @@ def solve_window_sharded(
     robust_delta: float = 0.0,
     brightness: bool = False,
     pose_prior=None,
+    min_pair_ratio: float = 0.7,
+    max_step: float = 0.02,
+    max_depth_step: float = 0.2,
+    pose_only_iterations: int = 5,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
@@ -417,9 +483,10 @@ def solve_window_sharded(
             n = _jax.lax.psum(n, axis)
             if prior is not None:
                 # prior term is replicated: add ONCE after the psum
+                # (un-halved, matching the sum-r^2 energy convention)
                 Hp, anchors = prior
                 rho = _prior_residual(poses, anchors)
-                e = e + 0.5 * jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
+                e = e + jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
             return e, n
 
         def gn(poses, ab, idepth, lm):
@@ -473,7 +540,17 @@ def solve_window_sharded(
             d_depth = D_inv * (b_d - Et_dc)
             return d_cam, d_depth
 
-        def apply(poses, ab, idepth, d_cam, d_depth):
+        def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
+            # trust region (see solve_window): d_cam is replicated, so the
+            # per-frame scaling is identical on every shard
+            norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
+            scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
+            d_cam = d_cam * scale
+            d_depth = jnp.clip(
+                d_depth, -max_depth_step * idepth, max_depth_step * idepth
+            )
+            if freeze_depth:
+                d_depth = jnp.zeros_like(d_depth)
             new_poses = _jax.vmap(
                 lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
             )(poses.q, poses.t, d_cam[:, :6])
@@ -483,10 +560,12 @@ def solve_window_sharded(
             new_ab = ab + d_cam[:, 6:8] if brightness else ab
             return new_poses, new_ab, jnp.maximum(idepth + d_depth, 1e-6)
 
-        def body(carry):
+        def body(carry, freeze_depth=False, stage_max_iter=max_iterations):
             poses, ab, idepth, energy, lm, it, done = carry
             d_cam, d_depth = gn(poses, ab, idepth, lm)
-            new_poses, new_ab, new_idepth = apply(poses, ab, idepth, d_cam, d_depth)
+            new_poses, new_ab, new_idepth = apply(
+                poses, ab, idepth, d_cam, d_depth, freeze_depth
+            )
             new_energy, n_pairs = energy_of(new_poses, new_ab, new_idepth)
             # the depth-finiteness vote must be GLOBAL: a shard-local `ok`
             # would let shards accept/reject independently and silently
@@ -497,6 +576,7 @@ def solve_window_sharded(
             ok = (
                 jnp.isfinite(new_energy)
                 & (new_energy <= energy)
+                & (n_pairs >= min_pair_ratio * n_pairs0)  # visibility guard
                 & jnp.all(jnp.isfinite(new_poses.q))
                 & jnp.all(jnp.isfinite(new_poses.t))
                 & jnp.all(jnp.isfinite(new_ab))
@@ -510,7 +590,7 @@ def solve_window_sharded(
             lm = jnp.where(ok, lm * 0.3, lm * 10.0)
             d_energy = energy - new_energy
             done = jnp.logical_or(
-                it + 1 >= max_iterations,
+                it + 1 >= stage_max_iter,
                 jnp.logical_and(
                     ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)
                 ),
@@ -519,16 +599,25 @@ def solve_window_sharded(
             return poses, ab, idepth, energy, lm, it + 1, done
 
         ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (F, 1))
-        energy0, _ = energy_of(win_local.poses, ab0, win_local.idepth)
-        poses, ab, idepth, energy, _, it, _ = _jax.lax.while_loop(
-            lambda c: ~c[-1],
-            body,
-            (
-                win_local.poses, ab0, win_local.idepth, energy0,
-                jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False),
-            ),
+        energy0, n_pairs0 = energy_of(win_local.poses, ab0, win_local.idepth)
+        carry = (
+            win_local.poses, ab0, win_local.idepth, energy0,
+            jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
         )
+        stage1 = min(pose_only_iterations, max_iterations)
+        if stage1 > 0:
+            carry = _jax.lax.while_loop(
+                lambda c: ~c[-1],
+                lambda c: body(c, freeze_depth=True, stage_max_iter=stage1),
+                carry,
+            )
+        if stage1 < max_iterations:
+            carry = (*carry[:6], jnp.asarray(False))
+            carry = _jax.lax.while_loop(
+                lambda c: ~c[-1], lambda c: body(c), carry
+            )
+        poses, ab, idepth, energy, _, it, _ = carry
         return WindowResult(
             poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab
         )

@@ -7,13 +7,21 @@ the windowed photometric BA (``models.photometric_ba``):
 - a window of up to W frames anchored at a tracker-style keyframe (the
   keyframe changes on the same mean-optical-flow >= threshold criterion as
   the tracker, inverse_compositional.rs:221-224);
-- every incoming frame triggers a joint window solve (poses + keyframe
-  inverse depths, Schur-reduced LM);
-- when a frame departs a full window it is MARGINALIZED, not dropped: its
-  block is Schur-complemented out of the depth-reduced camera system at the
-  current linearization, leaving a Gaussian pose prior
-  ``0.5 ρᵀHρ, ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` on the remaining frames that
-  carries its photometric information forward (``solve_window(pose_prior=)``).
+- every incoming frame triggers a COARSE-TO-FINE window solve: a
+  pose-only pass at a coarse pyramid level (wide basin) followed by the
+  full-resolution staged solve (pose-only LM iterations with frozen
+  depths, then joint pose+depth refinement), with a per-iteration trust
+  region and an in-view-pair guard — the robustness stack that keeps the
+  full-res photometric energy's aliasing/co-drift valleys from capturing
+  the solve (each measure is motivated by an observed failure; see
+  ``photometric_ba.solve_window`` and the regression tests);
+- when a frame departs a full window it is MARGINALIZED, not dropped: the
+  information INCREMENT it contributed (Schur complement of the full
+  depth-reduced system minus the kept frames' own re-buildable terms, at
+  the current linearization) becomes a Gaussian pose prior
+  ``ρᵀHρ, ρ_f = log(anchor_f⁻¹ ∘ pose_f)`` on the remaining frames
+  (``solve_window(pose_prior=)``) — see ``_marginalize_oldest`` for why
+  the increment form is required.
 
 Simplifications vs full DSO, documented on purpose:
 
@@ -98,6 +106,7 @@ class SlidingWindow:
         interp_method: str = "auto",
         robust_delta: float = 0.0,
         brightness: bool = False,
+        coarse_level: int = 1,
     ):
         if window_size < 2:
             raise ValueError("window_size must be >= 2")
@@ -117,6 +126,12 @@ class SlidingWindow:
         self._interp_method = interp_method
         self._robust_delta = robust_delta
         self._brightness = brightness
+        self._max_iterations = max_iterations
+        # coarse-to-fine: a pose-only solve at this pyramid level widens the
+        # convergence basin before the full-res joint solve (the full-res
+        # photometric energy aliases a few pixels out; a ~2 px init error is
+        # ~1 px at level 1, well inside its basin).  0 disables.
+        self.coarse_level = min(coarse_level, config.nb_levels - 1)
         self._pyr = jax.jit(lambda g: pyramid_ops.mean_pyramid(config.nb_levels, g))
         self._precompute = jax.jit(
             lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
@@ -164,6 +179,21 @@ class SlidingWindow:
             self._system_cache[F] = jax.jit(run)
         return self._system_cache[F]
 
+    def _system_noprior(self, F: int):
+        key = ("noprior", F)
+        if key not in self._system_cache:
+            def run(win, idepth):
+                S, _, _, _, _ = photometric_ba._camera_system(
+                    win, win.poses, idepth, jnp.asarray(0.0, Float),
+                    jnp.asarray(self._idepth_prior_weight, Float),
+                    self._interp_method, self._robust_delta,
+                    brightness=self._brightness,
+                )
+                return S
+
+            self._system_cache[key] = jax.jit(run)
+        return self._system_cache[key]
+
     def _window(self, models: List[Pose], images: List[jnp.ndarray]):
         poses = Pose(
             jnp.stack([m.q for m in models]), jnp.stack([m.t for m in models])
@@ -172,6 +202,35 @@ class SlidingWindow:
             self.config, self.intrinsics, self.kf_levels, jnp.stack(images), poses
         )
         return win._replace(idepth=self.idepth)
+
+    def _coarse_solver(self, F: int):
+        key = ("coarse", F)
+        if key not in self._solve_cache:
+            opts = dict(self._solve_opts)
+            opts["max_iterations"] = self._max_iterations
+            opts["pose_only_iterations"] = self._max_iterations  # poses only
+
+            def run(win, Hp, aq, at):
+                return photometric_ba.solve_window(
+                    win, pose_prior=(Hp, Pose(aq, at)), **opts
+                )
+
+            self._solve_cache[key] = jax.jit(run)
+        return self._solve_cache[key]
+
+    def _coarse_refine(self, F: int, Hp, aq, at):
+        """Pose-only solve at the coarse pyramid level (sensor depths)."""
+        lvl = self.coarse_level
+        poses = Pose(
+            jnp.stack([m.q for m in self.models]),
+            jnp.stack([m.t for m in self.models]),
+        )
+        win_c = photometric_ba.window_from_tracking(
+            self.config, self.intrinsics, self.kf_levels,
+            jnp.stack(self.images_coarse), poses, level=lvl,
+        )
+        res = self._coarse_solver(F)(win_c, Hp, aq, at)
+        self.models = [Pose(res.poses.q[i], res.poses.t[i]) for i in range(F)]
 
     def _flow(self, model: Pose) -> float:
         """Mean optical flow of the keyframe's coarsest-level candidates
@@ -198,6 +257,7 @@ class SlidingWindow:
         self.kf_c2w = c2w
         self.idepth = kf.levels[0].idepth
         self.images = [jnp.asarray(np.asarray(gray), jnp.float32)]
+        self.images_coarse = [pyr[self.coarse_level].astype(jnp.float32)]
         self.models = [pose_mod.identity()]
         self.frame_ids = [frame_id]
         F = 1
@@ -221,17 +281,47 @@ class SlidingWindow:
         return Hp, aq, at
 
     def _marginalize_oldest(self):
-        """Fold frame 1 (oldest non-keyframe) into the pose prior, drop it."""
+        """Fold frame 1 (oldest non-keyframe) into the pose prior, drop it.
+
+        The prior must carry only the information INCREMENT attributable to
+        the departing frame (plus the previous prior), because the kept
+        frames' photometric residuals stay live and are re-built in every
+        subsequent solve.  Folding the whole marginalized system in would
+        double-count the kept frames' information on every marginalization
+        and the prior would grow overconfident ~linearly in marginalization
+        count (pinning the window on long keyframe epochs).  Hence:
+
+            H_new = Schur_marg_j(photo(all) + prior) - photo(kept only)
+
+        so that the next solve's ``photo(kept) + H_new`` equals the correct
+        marginal of the full system at this linearization.  The difference
+        is PSD up to linearization/f32 error; it is symmetrized and
+        eigenvalue-clamped to keep the prior a valid information matrix.
+        """
         F = len(self.models)
         Hp, aq, at = self._prior_for(F)
         win = self._window(self.models, self.images)
-        S = self._system(F)(win, self.idepth, Hp, aq, at)
-        H_new = marginalize_frame(np.asarray(S), j=1)
+        S_with = self._system(F)(win, self.idepth, Hp, aq, at)
+        H_marg = np.asarray(marginalize_frame(S_with, j=1))  # (F-1,6,F-1,6)
+
         keep = [0] + list(range(2, F))
-        self.images = [self.images[i] for i in keep]
-        self.models = [self.models[i] for i in keep]
+        kept_models = [self.models[i] for i in keep]
+        kept_images = [self.images[i] for i in keep]
+        win2 = self._window(kept_models, kept_images)
+        S_without = np.asarray(self._system_noprior(F - 1)(win2, self.idepth))
+        H_new = H_marg - S_without[:, :6, :, :6]
+
+        n = (F - 1) * 6
+        M = H_new.reshape(n, n)
+        M = 0.5 * (M + M.T)
+        eigval, eigvec = np.linalg.eigh(M)
+        M = (eigvec * np.clip(eigval, 0.0, None)) @ eigvec.T
+
+        self.images = kept_images
+        self.images_coarse = [self.images_coarse[i] for i in keep]
+        self.models = kept_models
         self.frame_ids = [self.frame_ids[i] for i in keep]
-        self.prior_H = jnp.asarray(H_new)
+        self.prior_H = jnp.asarray(M.reshape(F - 1, 6, F - 1, 6), Float)
         self.prior_anchors = Pose(
             jnp.stack([m.q for m in self.models]),
             jnp.stack([m.t for m in self.models]),
@@ -278,6 +368,7 @@ class SlidingWindow:
             else:
                 keep = [0] + list(range(2, len(self.models)))
                 self.images = [self.images[i] for i in keep]
+                self.images_coarse = [self.images_coarse[i] for i in keep]
                 self.models = [self.models[i] for i in keep]
                 self.frame_ids = [self.frame_ids[i] for i in keep]
                 F = len(self.models)
@@ -287,11 +378,15 @@ class SlidingWindow:
                     jnp.stack([m.t for m in self.models]),
                 )
         self.images.append(jnp.asarray(np.asarray(gray), jnp.float32))
+        pyr_new = self._pyr(jnp.asarray(gray))
+        self.images_coarse.append(pyr_new[self.coarse_level].astype(jnp.float32))
         self.models.append(model)
         self.frame_ids.append(fid)
 
         F = len(self.models)
         Hp, aq, at = self._prior_for(F)
+        if self.coarse_level > 0:
+            self._coarse_refine(F, Hp, aq, at)
         win = self._window(self.models, self.images)
         result = self._solver(F)(win, Hp, aq, at)
         self.idepth = result.idepth
