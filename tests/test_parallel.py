@@ -335,7 +335,7 @@ def test_batched_switch_cadence():
     lanes3 = sw3.any(axis=0)
     assert (lanes3 >= lanes1).all(), (lanes1, lanes3)
 
-def test_track_sequence_scan_matches_stepwise_strict(seqs):
+def test_track_sequence_scan_matches_stepwise_strict():
     """Single-LM-iteration variant with a sharp tolerance: with DECISIVE
     motion (every level's first step gives a large energy drop) the one
     accept decision per level cannot flip between compilations, so scan and

@@ -299,6 +299,7 @@ def solve_window(
     max_step: float = 0.02,
     max_depth_step: float = 0.2,
     pose_only_iterations: int = 5,
+    refine_depth: bool = True,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
 
@@ -352,22 +353,28 @@ def solve_window(
     measured: from a 1 px drifted init the joint solve can descend
     monotonically into a valley 0.2 m off while a depth-frozen solve lands
     within ~1 mm in 5 iterations.  Stage 1 therefore freezes depths for up
-    to ``pose_only_iterations`` LM iterations; stage 2 refines jointly from
-    inside the correct basin.  Set 0 to disable (pure joint solve).
+    to ``pose_only_iterations`` LM iterations (always leaving at least one
+    joint iteration of the ``max_iterations`` budget, so small budgets
+    cannot silently disable depth refinement); stage 2 refines jointly from
+    inside the correct basin.  Set 0 to disable (pure joint solve), or
+    ``refine_depth=False`` for an explicitly pose-only solve (all
+    iterations frozen; used by the sliding window's coarse pre-stage).
     """
 
     def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
-        # trust region: cap per-frame twist norm, keep direction
+        # trust region: cap per-frame TWIST norm, keep direction.  Only the
+        # 6 twist columns are scaled — the brightness gain/bias columns are
+        # exactly linear in the residual and need no cap.
         norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
         scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
-        d_cam = d_cam * scale
+        d_xi = d_cam[:, :6] * scale
         d_depth = jnp.clip(
             d_depth, -max_depth_step * idepth, max_depth_step * idepth
         )
         if freeze_depth:
             d_depth = jnp.zeros_like(d_depth)
         new_poses = jax.vmap(lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi)))(
-            poses.q, poses.t, d_cam[:, :6]
+            poses.q, poses.t, d_xi
         )
         new_poses = pose_mod.renormalize_first_order(Pose(new_poses.q, new_poses.t))
         new_ab = ab + d_cam[:, 6:8] if brightness else ab
@@ -423,14 +430,18 @@ def solve_window(
         win.poses, ab0, win.idepth, energy0,
         jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    stage1 = min(pose_only_iterations, max_iterations)
+    if refine_depth:
+        # stage 1 never consumes the whole budget: depth refinement must not
+        # silently vanish for small max_iterations
+        stage1 = min(pose_only_iterations, max_iterations - 1)
+    else:
+        stage1 = max_iterations  # explicit pose-only solve
     if stage1 > 0:
         carry = jax.lax.while_loop(
             lambda c: ~c[-1], make_body(True, stage1), carry
         )
     if stage1 < max_iterations:
-        # reset the done flag (keep λ/energy) for the joint stage;
-        # pose_only_iterations >= max_iterations means a pure pose solve
+        # reset the done flag (keep λ/energy) for the joint stage
         carry = (*carry[:6], jnp.asarray(False))
         carry = jax.lax.while_loop(
             lambda c: ~c[-1], make_body(False, max_iterations), carry
@@ -456,6 +467,7 @@ def solve_window_sharded(
     max_step: float = 0.02,
     max_depth_step: float = 0.2,
     pose_only_iterations: int = 5,
+    refine_depth: bool = True,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
@@ -541,11 +553,11 @@ def solve_window_sharded(
             return d_cam, d_depth
 
         def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
-            # trust region (see solve_window): d_cam is replicated, so the
-            # per-frame scaling is identical on every shard
+            # trust region (see solve_window): twist columns only; d_cam is
+            # replicated, so the scaling is identical on every shard
             norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
             scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
-            d_cam = d_cam * scale
+            d_xi = d_cam[:, :6] * scale
             d_depth = jnp.clip(
                 d_depth, -max_depth_step * idepth, max_depth_step * idepth
             )
@@ -553,7 +565,7 @@ def solve_window_sharded(
                 d_depth = jnp.zeros_like(d_depth)
             new_poses = _jax.vmap(
                 lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
-            )(poses.q, poses.t, d_cam[:, :6])
+            )(poses.q, poses.t, d_xi)
             new_poses = pose_mod.renormalize_first_order(
                 Pose(new_poses.q, new_poses.t)
             )
@@ -605,7 +617,10 @@ def solve_window_sharded(
             jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
         )
-        stage1 = min(pose_only_iterations, max_iterations)
+        if refine_depth:
+            stage1 = min(pose_only_iterations, max_iterations - 1)
+        else:
+            stage1 = max_iterations
         if stage1 > 0:
             carry = _jax.lax.while_loop(
                 lambda c: ~c[-1],

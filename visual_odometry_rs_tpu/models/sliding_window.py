@@ -208,7 +208,7 @@ class SlidingWindow:
         if key not in self._solve_cache:
             opts = dict(self._solve_opts)
             opts["max_iterations"] = self._max_iterations
-            opts["pose_only_iterations"] = self._max_iterations  # poses only
+            opts["refine_depth"] = False  # explicitly pose-only
 
             def run(win, Hp, aq, at):
                 return photometric_ba.solve_window(
@@ -219,7 +219,13 @@ class SlidingWindow:
         return self._solve_cache[key]
 
     def _coarse_refine(self, F: int, Hp, aq, at):
-        """Pose-only solve at the coarse pyramid level (sensor depths)."""
+        """Pose-only solve at the coarse pyramid level (sensor depths).
+
+        The marginalization prior is built in FULL-RES photometric
+        information units; the coarse level has ~4^level fewer candidate
+        pairs, so the prior is scaled down accordingly to keep its weight
+        relative to the coarse photometric term what the design intends.
+        """
         lvl = self.coarse_level
         poses = Pose(
             jnp.stack([m.q for m in self.models]),
@@ -229,7 +235,7 @@ class SlidingWindow:
             self.config, self.intrinsics, self.kf_levels,
             jnp.stack(self.images_coarse), poses, level=lvl,
         )
-        res = self._coarse_solver(F)(win_c, Hp, aq, at)
+        res = self._coarse_solver(F)(win_c, Hp * (4.0 ** -lvl), aq, at)
         self.models = [Pose(res.poses.q[i], res.poses.t[i]) for i in range(F)]
 
     def _flow(self, model: Pose) -> float:
@@ -250,8 +256,9 @@ class SlidingWindow:
             self._flow_fn = jax.jit(flow)
         return float(self._flow_fn(self.kf_levels[-1], model))
 
-    def _set_keyframe(self, depth, gray, c2w: Pose, frame_id: int):
-        pyr = self._pyr(jnp.asarray(gray))
+    def _set_keyframe(self, depth, gray, c2w: Pose, frame_id: int, pyr=None):
+        if pyr is None:
+            pyr = self._pyr(jnp.asarray(gray))
         kf = self._precompute(jnp.asarray(depth), pyr)
         self.kf_levels = kf.levels
         self.kf_c2w = c2w
@@ -378,8 +385,12 @@ class SlidingWindow:
                     jnp.stack([m.t for m in self.models]),
                 )
         self.images.append(jnp.asarray(np.asarray(gray), jnp.float32))
-        pyr_new = self._pyr(jnp.asarray(gray))
-        self.images_coarse.append(pyr_new[self.coarse_level].astype(jnp.float32))
+        pyr_new = None
+        if self.coarse_level > 0:
+            pyr_new = self._pyr(jnp.asarray(gray))
+            self.images_coarse.append(pyr_new[self.coarse_level].astype(jnp.float32))
+        else:
+            self.images_coarse.append(self.images[-1])
         self.models.append(model)
         self.frame_ids.append(fid)
 
@@ -404,6 +415,6 @@ class SlidingWindow:
 
         # keyframe switch on tracker flow criterion (newest frame vs keyframe)
         if self._flow(self.models[-1]) >= self.config.flow_threshold:
-            self._set_keyframe(depth, gray, refined[-1], fid)
+            self._set_keyframe(depth, gray, refined[-1], fid, pyr=pyr_new)
             self.keyframe_switches += 1
         return ids, refined
