@@ -385,3 +385,23 @@ def test_cli_slam_pipeline(tmp_path, capsys):
     ate_track = ate.ate_rmse([f.pose for f in tracked], gt)
     # synthetic tracking is already near-exact; SLAM must not degrade it
     assert ate_slam <= ate_track + 2e-3, (ate_track, ate_slam)
+
+def test_cli_batch_switch_cadence(tmp_path):
+    """--switch-cadence plumbs through to the batched scan driver."""
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    seq = synthetic.generate_sequence(nb_frames=4, height=48, width=64, seed=3)
+    assoc = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+    outdir = str(tmp_path / "out")
+    rc = vors_batch.main(
+        ["fr1", assoc, assoc, "--nb-levels", "3", "--candidate-cap", "256",
+         "--out-dir", outdir, "--switch-cadence", "2"]
+    )
+    assert rc == 0
+    import os
+
+    for name in os.listdir(outdir):
+        with open(os.path.join(outdir, name)) as f:
+            frames = tum_rgbd.parse_trajectory(f.read())
+        assert len(frames) == 3
+        assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in frames)

@@ -48,6 +48,14 @@ def main(argv=None) -> int:
     parser.add_argument("--diff-threshold", type=int, default=7)
     parser.add_argument("--candidate-cap", type=int, default=8192)
     _common.add_compilation_cache_arg(parser)
+    parser.add_argument(
+        "--switch-cadence", type=int, default=1, metavar="K",
+        help="batch keyframe switches onto every K-th frame (pending lanes "
+        "switch together).  K=1 is reference-exact per-frame switching; "
+        "K>1 trades slightly deferred switches for throughput when lanes "
+        "switch on different frames (diverse sequences) — see "
+        "parallel/batch.py and docs/PERF.md",
+    )
     parser.add_argument("--chunk", type=int, default=8, metavar="N",
                         help="frames per fused device dispatch")
     parser.add_argument(
@@ -141,7 +149,9 @@ def main(argv=None) -> int:
 
     @jax.jit
     def run_clip(s, dd, gg):
-        return batch_mod.batched_track_sequence(config, intrinsics, s, dd, gg)
+        return batch_mod.batched_track_sequence(
+            config, intrinsics, s, dd, gg, switch_cadence=args.switch_cadence
+        )
 
     os.makedirs(args.out_dir, exist_ok=True)
     # uniquify output names: two inputs mapping to the same name (same parent
