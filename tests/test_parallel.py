@@ -335,6 +335,126 @@ def test_batched_switch_cadence():
     lanes3 = sw3.any(axis=0)
     assert (lanes3 >= lanes1).all(), (lanes1, lanes3)
 
+def _diverse_batch(B=4, F=6, mags=(0.02, 0.04, 0.06, 0.08), h=48, w=64):
+    seqs_div = [
+        synthetic.generate_sequence(
+            nb_frames=F + 1, height=h, width=w, seed=10 + i,
+            twist_per_frame=[m, 0.0, 0.0, 0.0, 0.0, 0.0],
+        )
+        for i, m in enumerate(mags[:B])
+    ]
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs_div])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs_div])
+    cd = jnp.stack(
+        [jnp.stack([jnp.asarray(s.depths[f]) for s in seqs_div]) for f in range(1, F + 1)]
+    )
+    cg = jnp.stack(
+        [jnp.stack([jnp.asarray(s.grays[f]) for s in seqs_div]) for f in range(1, F + 1)]
+    )
+    return seqs_div[0].intrinsics, d0, g0, cd, cg
+
+
+def test_switch_subbatch_matches_full_recompute():
+    """Sub-batch switch compaction must reproduce the all-lanes recompute:
+    identical switch pattern, poses within f32 lowering reassociation.
+
+    The diverse scenario exercises BOTH branches: frames with 1-3 pending
+    lanes take the compact path at K=2..3 only when they fit, and the
+    all-lanes-switch frame overflows K=1/K=2 into the full-recompute
+    fallback — so fallback correctness is covered, not just the happy path."""
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256, flow_threshold=0.5
+    )
+    intrinsics, d0, g0, cd, cg = _diverse_batch()
+    state0 = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    run = lambda K: jax.jit(
+        lambda s, dd, gg: batch_mod.batched_track_sequence(
+            config, intrinsics, s, dd, gg, switch_subbatch=K
+        )
+    )(state0, cd, cg)
+
+    ref_final, (ref_poses, ref_diags) = run(0)
+    sw = np.asarray(ref_diags.switched)
+    assert sw.any() and sw.sum(axis=1).max() >= 3, sw  # needs real overflow
+    for K in (1, 2, 3):
+        final, (poses, diags) = run(K)
+        np.testing.assert_array_equal(
+            np.asarray(diags.switched), sw, err_msg=f"K={K}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses.t), np.asarray(ref_poses.t), atol=5e-6, err_msg=f"K={K}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses.q), np.asarray(ref_poses.q), atol=1e-6, err_msg=f"K={K}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.current_pose.t), np.asarray(ref_final.current_pose.t),
+            atol=5e-6,
+        )
+
+
+def test_onehot_rows_exact_all_dtypes():
+    """The lane-movement primitive is bit-exact for every dtype it carries,
+    including f32 bit patterns that encode NaN (moved as bytes, so no 0*NaN
+    poisoning through the matmul)."""
+    rng = np.random.default_rng(0)
+    pending = jnp.asarray(np.array([False, True, False, True, True, False]))
+    sel = batch_mod._lane_onehot(pending, 3)
+    assert np.asarray(sel).sum() == 3
+    f32 = rng.standard_normal((6, 5, 3)).astype(np.float32)
+    f32[1, 0, 0] = np.nan
+    f32[3, 2, 1] = np.inf
+    cases = [
+        jnp.asarray(f32),
+        jnp.asarray(rng.integers(0, 256, (6, 7), dtype=np.uint8)),
+        jnp.asarray(rng.integers(0, 65535, (6, 4, 4), dtype=np.uint16)),
+        jnp.asarray(rng.random((6,)) > 0.5),
+    ]
+    for x in cases:
+        got = np.asarray(batch_mod._onehot_rows(sel, x))
+        want = np.asarray(x)[np.array([1, 3, 4])]
+        np.testing.assert_array_equal(got, want, err_msg=str(x.dtype))
+        # scatter direction: zero rows for unselected lanes
+        back = np.asarray(batch_mod._onehot_rows(sel.T, jnp.asarray(want)))
+        np.testing.assert_array_equal(back[np.array([1, 3, 4])], want)
+
+
+def test_batched_sequence_chunked_pending_carry():
+    """Chunked dispatch with (pending0, frame_offset, return_pending) must
+    reproduce the single-dispatch cadence semantics exactly — pending flags
+    survive chunk boundaries and check-frame phase follows the GLOBAL frame
+    index (round-2 advisor finding on vors_batch --chunk)."""
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256, flow_threshold=0.5
+    )
+    intrinsics, d0, g0, cd, cg = _diverse_batch()
+    K = 3
+    state0 = batch_mod.batched_init_state(config, intrinsics, d0, g0)
+    _, (ref_poses, ref_diags) = jax.jit(
+        lambda s, dd, gg: batch_mod.batched_track_sequence(
+            config, intrinsics, s, dd, gg, switch_cadence=K
+        )
+    )(state0, cd, cg)
+
+    # chunk size 2 with cadence 3: phase would jitter without frame_offset
+    s, pending = state0, None
+    poses_t, switched = [], []
+    for start in range(0, cd.shape[0], 2):
+        s, (p, dg), pending = batch_mod.batched_track_sequence(
+            config, intrinsics, s, cd[start:start + 2], cg[start:start + 2],
+            switch_cadence=K, pending0=pending, frame_offset=start,
+            return_pending=True,
+        )
+        poses_t.append(np.asarray(p.t))
+        switched.append(np.asarray(dg.switched))
+    np.testing.assert_array_equal(
+        np.concatenate(switched), np.asarray(ref_diags.switched)
+    )
+    np.testing.assert_allclose(
+        np.concatenate(poses_t), np.asarray(ref_poses.t), atol=5e-6
+    )
+
+
 def test_track_sequence_scan_matches_stepwise_strict():
     """Single-LM-iteration variant with a sharp tolerance: with DECISIVE
     motion (every level's first step gives a large energy drop) the one
@@ -374,3 +494,73 @@ def test_track_sequence_scan_matches_stepwise_strict():
     np.testing.assert_allclose(
         np.asarray(final.current_pose.t), np.asarray(s.current_pose.t), atol=5e-4
     )
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(robust_delta=20.0),
+        dict(brightness_model=True),
+        dict(robust_delta=20.0, brightness_model=True),
+    ],
+    ids=["robust", "brightness", "robust+brightness"],
+)
+def test_batched_sequence_option_crossproduct(opts):
+    """Round-3 verdict item 7: the robust/brightness tracker extensions must
+    work through the batched fused-scan driver (cadence 1 AND >1) on the
+    8-device mesh, agreeing with the single-stream scan driver per lane.
+
+    The round-2 suite only ran the plain config batched; the extension
+    cross-product was an untested shape/select surface."""
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256,
+        flow_threshold=0.5, **opts,
+    )
+    intrinsics, d0, g0, cd, cg = _diverse_batch()
+    B = d0.shape[0]
+
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    # pad batch 4 -> 8 lanes for the mesh by repeating (distinct data per
+    # device still exercised via the first 4 lanes)
+    d0_8 = jnp.concatenate([d0, d0], axis=0)
+    g0_8 = jnp.concatenate([g0, g0], axis=0)
+    cd_8 = jnp.concatenate([cd, cd], axis=1)
+    cg_8 = jnp.concatenate([cg, cg], axis=1)
+
+    state0 = batch_mod.batched_init_state(config, intrinsics, d0_8, g0_8)
+    state0 = mesh_mod.shard_batch(state0, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+    cd_8 = jax.device_put(cd_8, sh)
+    cg_8 = jax.device_put(cg_8, sh)
+
+    for cadence in (1, 3):
+        final, (poses, diags) = jax.jit(
+            lambda s, dd, gg: batch_mod.batched_track_sequence(
+                config, intrinsics, s, dd, gg, switch_cadence=cadence
+            )
+        )(state0, cd_8, cg_8)
+        assert bool(jnp.all(jnp.isfinite(poses.t)))
+        assert not bool(diags.failed.any())
+        # duplicated lanes must agree exactly (same data, same program)
+        np.testing.assert_allclose(
+            np.asarray(final.current_pose.t[:B]),
+            np.asarray(final.current_pose.t[B:]), atol=1e-6,
+        )
+        if cadence == 1:
+            # per-lane agreement with the single-stream scan driver
+            for lane in range(B):
+                s1 = batch_mod.init_state(
+                    config, intrinsics, d0[lane], g0[lane]
+                )
+                f1, (p1, dg1) = jax.jit(
+                    lambda s, dd, gg: batch_mod.track_sequence(
+                        config, intrinsics, s, dd, gg
+                    )
+                )(s1, cd[:, lane], cg[:, lane])
+                # vmap reassociation + discrete LM stop flips: basin-level
+                np.testing.assert_allclose(
+                    np.asarray(final.current_pose.t[lane]),
+                    np.asarray(f1.current_pose.t), atol=2e-2,
+                )

@@ -56,6 +56,13 @@ def main(argv=None) -> int:
         "switch on different frames (diverse sequences) — see "
         "parallel/batch.py and docs/PERF.md",
     )
+    parser.add_argument(
+        "--switch-subbatch", type=int, default=0, metavar="K",
+        help="on switch frames, precompute only the pending lanes compacted "
+        "into a fixed K-lane sub-batch (falls back to all-lanes when more "
+        "than K pend at once).  Same results as 0 (off), cheaper on diverse "
+        "batches — see parallel/batch.py and docs/PERF.md",
+    )
     parser.add_argument("--chunk", type=int, default=8, metavar="N",
                         help="frames per fused device dispatch")
     parser.add_argument(
@@ -147,10 +154,17 @@ def main(argv=None) -> int:
     if mesh is not None:
         state = mesh_mod.shard_batch(state, mesh)
 
+    # pending-lane mask and the global frame offset thread through chunks as
+    # traced args, so cadence check-frame phase follows the GLOBAL frame index
+    # and pending switch flags survive chunk boundaries (round-2 advisor
+    # finding), without retracing per chunk.
     @jax.jit
-    def run_clip(s, dd, gg):
+    def run_clip(s, dd, gg, pending, offset):
         return batch_mod.batched_track_sequence(
-            config, intrinsics, s, dd, gg, switch_cadence=args.switch_cadence
+            config, intrinsics, s, dd, gg,
+            switch_cadence=args.switch_cadence,
+            switch_subbatch=args.switch_subbatch,
+            pending0=pending, frame_offset=offset, return_pending=True,
         )
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -176,6 +190,7 @@ def main(argv=None) -> int:
     last = [first[i] for i in range(B)]  # (depth, gray) to repeat when done
 
     frame_idx = 0
+    pending = jnp.zeros((B,), bool)
     while frame_idx < max_len:
         n = min(args.chunk, max_len - frame_idx)
         clip_d = np.empty((n, B, h, w), np.uint16)
@@ -193,7 +208,9 @@ def main(argv=None) -> int:
             sh = NamedSharding(mesh, P(None, "data"))
             dd = jax.device_put(dd, sh)
             gg = jax.device_put(gg, sh)
-        state, (poses, diags) = run_clip(state, dd, gg)
+        state, (poses, diags), pending = run_clip(
+            state, dd, gg, pending, jnp.int32(frame_idx)
+        )
         q = np.asarray(poses.q)
         t = np.asarray(poses.t)
         flows = np.asarray(diags.flow)

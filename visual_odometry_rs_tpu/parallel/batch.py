@@ -134,6 +134,44 @@ def batched_track_step(
     )(state, depths, imgs)
 
 
+def _lane_onehot(pending: jnp.ndarray, k_sub: int) -> jnp.ndarray:
+    """(K, B) bool selector: slot k ↦ the k-th pending lane in lane order.
+
+    Rows beyond the pending count are all-zero.  Built from a cumsum rank and
+    an equality compare — no dynamic indexing (dynamic gathers at image scale
+    are the measured bottleneck on this TPU, docs/PERF.md)."""
+    ranks = jnp.cumsum(pending.astype(jnp.int32)) - 1  # (B,)
+    slots = jax.lax.iota(jnp.int32, k_sub)  # (K,)
+    return jnp.logical_and(pending[None, :], ranks[None, :] == slots[:, None])
+
+
+def _onehot_rows(sel: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact lane gather/scatter ``out[i] = x[j]  where sel[i, j]``.
+
+    ``sel`` is 0/1 with at most one nonzero per row; all-zero rows produce
+    zeros.  Works for ANY dtype bit-exactly: the array is bit-cast to u8 byte
+    planes (every byte value 0-255 is exact in bf16), moved with one bf16 MXU
+    matmul, and reassembled.  Because the matmul only ever sees finite u8
+    values, lanes containing NaN-encoding f32 bits move without triggering
+    ``0 * NaN`` poisoning.  This is the batch-lane analog of the channel
+    gathers in ``tracker._extract_level_onehot``."""
+    orig_dtype = x.dtype
+    out_rows = sel.shape[0]
+    xb = x.astype(jnp.uint8) if orig_dtype == jnp.bool_ else x
+    if xb.dtype != jnp.uint8:
+        xb = jax.lax.bitcast_convert_type(xb, jnp.uint8)
+    flat = xb.reshape(xb.shape[0], -1).astype(jnp.bfloat16)
+    rows = jnp.dot(
+        sel.astype(jnp.bfloat16), flat, preferred_element_type=Float
+    ).astype(jnp.uint8)
+    rows = rows.reshape((out_rows,) + xb.shape[1:])
+    if orig_dtype == jnp.bool_:
+        return rows.astype(jnp.bool_)
+    if orig_dtype != jnp.uint8:
+        rows = jax.lax.bitcast_convert_type(rows, orig_dtype)
+    return rows
+
+
 def _lazy_switch_step(
     config: TrackerConfig,
     intrinsics: Intrinsics,
@@ -143,6 +181,7 @@ def _lazy_switch_step(
     batched: bool,
     pending=None,
     do_check=None,
+    switch_subbatch: int = 0,
 ):
     """One scan-body step with the keyframe precompute behind a real branch.
 
@@ -220,11 +259,60 @@ def _lazy_switch_step(
         )
         return kf, kfp, jnp.zeros_like(pending_all), pending_all
 
+    def recompute_sub(kf_old, kf_pose_old):
+        # Sub-batch switch compaction: the precompute's cost scales with the
+        # number of lanes it runs on (channel gathers dominate, docs/PERF.md),
+        # but on a typical diverse check frame only 1-4 of B lanes actually
+        # pend.  Compact the pending lanes into a fixed K-lane sub-batch with
+        # one-hot byte-plane matmuls (bit-exact, `_onehot_rows`), precompute
+        # ONLY the sub-batch, and scatter keyframe state back.  This branch is
+        # entered only when the pending count fits (count <= K, outer cond),
+        # so semantics are IDENTICAL to the all-lanes recompute — lanes never
+        # wait.  Overflow frames (count > K) take the all-lanes branch.
+        k_sub = switch_subbatch
+        sel = _lane_onehot(pending_all, k_sub)  # (K, B)
+        sub_depth = _onehot_rows(sel, depth)
+        sub_pyrs = [_onehot_rows(sel, p) for p in pyrs]
+        sub_kf = jax.vmap(
+            lambda d1, *p: tracker_mod.precompute_keyframe(
+                config, intrinsics, d1, list(p)
+            )
+        )(sub_depth, *sub_pyrs)
+        sel_t = sel.T  # (B, K): one nonzero for pending lanes, zero rows else
+        kf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                bcast(pending_all, old), _onehot_rows(sel_t, new), old
+            ),
+            sub_kf,
+            kf_old,
+        )
+        kfp = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
+            new_current,
+            kf_pose_old,
+        )
+        return kf, kfp, jnp.zeros_like(pending_all), pending_all
+
     def keep(kf_old, kf_pose_old):
         return kf_old, kf_pose_old, pending_all, jnp.zeros_like(pending_all)
 
+    if batched and 0 < switch_subbatch < pending_all.shape[0]:
+        n_pending = jnp.sum(pending_all.astype(jnp.int32))
+
+        def recompute_dispatch(kf_old, kf_pose_old):
+            return jax.lax.cond(
+                n_pending <= switch_subbatch,
+                recompute_sub,
+                recompute,
+                kf_old,
+                kf_pose_old,
+            )
+
+    else:
+        recompute_dispatch = recompute
+
     kf, keyframe_pose, pending_out, switched = jax.lax.cond(
-        check, recompute, keep, state.kf, state.keyframe_pose
+        check, recompute_dispatch, keep, state.kf, state.keyframe_pose
     )
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
     diag = StepDiagnostics(flow=result.flow, failed=result.failed, switched=switched)
@@ -267,6 +355,10 @@ def batched_track_sequence(
     depths: jnp.ndarray,
     imgs: jnp.ndarray,
     switch_cadence: int = 1,
+    switch_subbatch: int = 0,
+    pending0: jnp.ndarray | None = None,
+    frame_offset=0,
+    return_pending: bool = False,
 ):
     """``lax.scan`` over frames of the vmapped step: clips are (F, B, H, W).
 
@@ -287,6 +379,22 @@ def batched_track_sequence(
     1-2 px at the coarsest level are still well inside LM's convergence
     basin, and the ATE impact is measured in ``tests/test_parallel.py``).
     ``K=1`` is the reference-exact per-frame semantics.
+
+    ``switch_subbatch=K_sub > 0`` compacts the pending lanes into a fixed
+    ``K_sub``-lane sub-batch on check frames (one-hot byte-plane matmuls,
+    bit-exact) and precomputes only those lanes, falling back to the
+    all-lanes recompute when more than ``K_sub`` lanes pend at once — lanes
+    never wait, so the switch pattern is IDENTICAL to ``switch_subbatch=0``
+    and poses agree to f32 lowering reassociation (~1e-7: the K-lane vmap
+    compiles the same per-lane precompute at a different batch size; the
+    lane movement itself is bit-exact).  Cheaper because precompute cost
+    scales with the lane count it runs on (docs/PERF.md).
+
+    For chunked serving (``vors_batch --chunk``), thread the cadence state
+    across dispatches: pass ``pending0=`` the previous chunk's pending mask,
+    ``frame_offset=`` the global index of this chunk's first frame, and
+    ``return_pending=True`` to get the carry back — otherwise pending switch
+    flags are dropped and check-frame phase restarts at every chunk boundary.
     """
     config = _resolve_batched_interp(config)
     nb_frames = depths.shape[0]
@@ -299,13 +407,18 @@ def batched_track_sequence(
         s2, diag, pending2 = _lazy_switch_step(
             config, intrinsics, s, d, i, batched=True,
             pending=pending, do_check=do_check,
+            switch_subbatch=switch_subbatch,
         )
         return (s2, pending2), (s2.current_pose, diag)
 
-    pending0 = jnp.zeros((batch,), bool)
-    (final, _), out = jax.lax.scan(
-        body, (state, pending0), (jnp.arange(nb_frames), depths, imgs)
+    if pending0 is None:
+        pending0 = jnp.zeros((batch,), bool)
+    frame_idx = frame_offset + jnp.arange(nb_frames)
+    (final, pending_out), out = jax.lax.scan(
+        body, (state, pending0), (frame_idx, depths, imgs)
     )
+    if return_pending:
+        return final, out, pending_out
     return final, out
 
 
