@@ -101,3 +101,21 @@ def test_renormalize_first_order():
     p = pose.renormalize_first_order(pose.Pose(q, jnp.zeros(3)))
     norm = float(jnp.linalg.norm(p.q))
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_adjoint_conjugation_property():
+    """exp(Adj(p) xi) == p exp(xi) p^-1 for small xi (the transport used by
+    the sliding window's keyframe-switch prior transfer)."""
+    import numpy as np
+
+    from visual_odometry_rs_tpu.math import pose as pose_mod
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        p = se3.exp(jnp.asarray(rng.normal(size=6) * 0.3, jnp.float32))
+        xi = jnp.asarray(rng.normal(size=6) * 1e-3, jnp.float32)
+        lhs = se3.log(
+            pose_mod.compose(pose_mod.compose(p, se3.exp(xi)), pose_mod.inverse(p))
+        )
+        rhs = se3.adjoint(p) @ xi
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-6)

@@ -54,6 +54,24 @@ def vee(mat: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def adjoint(p: Pose) -> jnp.ndarray:
+    """Adjoint of a rigid motion: the (…, 6, 6) matrix with
+    ``exp(adjoint(p) @ xi) = p ∘ exp(xi) ∘ p⁻¹``.
+
+    For the ``xi = [v, w]`` twist layout (se3.rs:30-40):
+    ``Adj = [[R, hat(t)·R], [0, R]]``.  Green-field (no reference
+    counterpart): used to transport marginalization priors to a new keyframe
+    frame in ``models.sliding_window``.
+    """
+    from .pose import rotation_matrix
+
+    R = rotation_matrix(p.q)
+    txR = jnp.matmul(so3.hat(p.t), R)
+    top = jnp.concatenate([R, txR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _eye3(batch_shape, dtype):
     return jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*batch_shape, 3, 3))
 

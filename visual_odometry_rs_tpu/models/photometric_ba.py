@@ -236,33 +236,14 @@ def _camera_system(win: Window, poses: Pose, idepth, lm, prior_weight,
     return S, rhs, D_inv, E, b_d
 
 
-def _gn_step(win: Window, poses: Pose, idepth, lm, prior_weight, method: str,
-             robust_delta: float = 0.0, ab=None, brightness: bool = False,
-             pose_prior=None):
-    """One damped Schur-reduced Gauss-Newton step; returns deltas."""
-    F = poses.q.shape[0]
-    S, rhs, D_inv, E, b_d = _camera_system(
-        win, poses, idepth, lm, prior_weight, method, robust_delta,
-        ab=ab, brightness=brightness, pose_prior=pose_prior,
+def _zero_prior(F: int) -> tuple:
+    """A no-op pose prior (H = 0, identity anchors): adding it is exact
+    (contributes literal zeros to S/rhs/energy), which lets the shared
+    solver body run ONE code path whether a prior exists or not."""
+    return (
+        jnp.zeros((F, 6, F, 6), Float),
+        pose_mod.identity((F,)),
     )
-    P = S.shape[1]
-
-    # gauge-fix frame 0 (keyframe): delta_0 = 0 (pose AND brightness)
-    n = P * F
-    S2 = S.reshape(n, n)
-    rhs2 = rhs.reshape(n)
-    idx = jnp.arange(n)
-    free = idx >= P
-    mask2d = free[:, None] & free[None, :]
-    S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
-    rhs2 = jnp.where(free, rhs2, 0.0)
-    chol = jnp.linalg.cholesky(S2)
-    d_cam = jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, P)
-
-    # back-substitute depths: d_d = D^-1 (b_d - E^T d_cam)
-    Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
-    d_depth = D_inv * (b_d - Et_dc)
-    return d_cam, d_depth
 
 
 def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
@@ -284,6 +265,211 @@ def _energy(win: Window, poses: Pose, idepth, prior_weight, method: str,
     return jnp.sum(r * r) + prior, jnp.sum((maskf > 0.0).astype(Float))
 
 
+def _solve_window_impl(
+    win: Window,
+    *,
+    allreduce,
+    max_iterations: int,
+    lm_init: float,
+    idepth_prior_weight: float,
+    energy_tol: float,
+    interp_method: str,
+    robust_delta: float,
+    brightness: bool,
+    pose_prior,
+    min_pair_ratio: float,
+    max_step: float,
+    max_depth_step: float,
+    pose_only_iterations: int,
+    refine_depth: bool,
+    idepth_init=None,
+) -> WindowResult:
+    """Shared LM body of the window solve — the single source of truth for
+    ``solve_window`` AND ``solve_window_sharded`` (they previously maintained
+    ~150 duplicated lines of staged solve / trust region / visibility guard /
+    accept-reject logic each, and divergence fixes had to land twice).
+
+    ``allreduce`` is the cross-shard reduction hook: ``None`` on a single
+    device, ``lambda x: lax.psum(x, axis)`` inside shard_map.  Every
+    candidate-summed quantity (camera-system partials, energy, pair count,
+    the depth-finiteness vote) passes through it exactly once; replicated
+    terms (pose prior, additive damping floor, the camera solve itself) are
+    applied after it — so both paths compute identical numbers by
+    construction.
+
+    ``idepth_init`` separates the optimization STARTING POINT from the
+    sensor anchor: ``win.idepth`` stays the RGB-D measurement the depth
+    prior pulls toward, while the solve initializes at ``idepth_init``
+    (default: the anchor itself).  Without the separation, re-feeding
+    refined depths as ``win.idepth`` re-centers the 1e4-weight sensor prior
+    at the last estimate — a random-walk prior that re-enables pose/depth
+    co-drift over long keyframe epochs (round-2 advisor finding).
+    """
+    red = allreduce if allreduce is not None else (lambda x: x)
+    F = win.poses.q.shape[0]
+    w_prior = jnp.asarray(idepth_prior_weight, Float)
+    Hp, anchors = pose_prior if pose_prior is not None else _zero_prior(F)
+    idepth_start = win.idepth if idepth_init is None else idepth_init
+
+    def energy_of(poses, ab, idepth):
+        e, n = _energy(
+            win, poses, idepth, w_prior, interp_method, robust_delta, ab=ab
+        )
+        e, n = red((e, n))
+        # pose-prior term is replicated: add ONCE after the reduction
+        # (un-halved, matching the sum-r^2 photometric energy convention —
+        # a 0.5 factor would make LM accept/reject monitor a different
+        # objective than the one the normal equations minimize)
+        rho = _prior_residual(poses, anchors)
+        e = e + jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
+        return e, n
+
+    def gn(poses, ab, idepth, lm):
+        r, maskf, j_xi, j_d = _build(
+            win, poses, idepth, interp_method, robust_delta,
+            ab=ab, brightness=brightness,
+        )
+        P = j_xi.shape[-1]
+        A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
+        b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)
+        # depth diagonal D_i = sum_f j_d^2 + prior; the prior anchors each
+        # inverse depth to its RGB-D measurement (win.idepth) with weight
+        # sigma_I^2 / sigma_d^2 — photometric signal alone sits below the u8
+        # quantization floor for small depth errors, the sensor term keeps
+        # the depth column of the system observable (DSO's device)
+        validf = win.valid.astype(Float)
+        D = jnp.sum(j_d * j_d, axis=0) + w_prior * validf
+        b_d = -jnp.sum(j_d * r, axis=0) + w_prior * validf * (win.idepth - idepth)
+        E = j_xi * j_d[..., None]  # coupling (F, N, P)
+        eyeP = jnp.eye(P, dtype=Float)
+        A_damped = A * (1.0 + lm * eyeP)
+        D_damped = D * (1.0 + lm) + 1e-10
+        D_inv = 1.0 / D_damped
+        S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
+        rhs_fill = jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
+        # ONE collective: local partials of the Schur-reduced camera system
+        A_damped, b_cam, S_fill, rhs_fill = red(
+            (A_damped, b_cam, S_fill, rhs_fill)
+        )
+        # additive floor AFTER the reduction (applied once, not per shard):
+        # a frame whose candidates all fall out of view has exactly-zero
+        # diagonal entries (notably the brightness gain/bias columns), which
+        # multiplicative damping alone cannot regularize — the Cholesky
+        # would go NaN and every step would be rejected
+        A_damped = A_damped + (lm * 1e-6 + 1e-8) * eyeP
+        S = jnp.zeros((F, P, F, P), Float)
+        S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
+        S = S - S_fill
+        rhs = b_cam - rhs_fill
+        rho = _prior_residual(poses, anchors)
+        Hp_p, rho_p = _pad_prior(Hp, rho, F, P)
+        S = S + Hp_p
+        rhs = rhs - jnp.einsum("fagb,gb->fa", Hp_p, rho_p)
+
+        # gauge-fix frame 0 (keyframe): delta_0 = 0 (pose AND brightness)
+        n = P * F
+        S2 = S.reshape(n, n)
+        rhs2 = rhs.reshape(n)
+        idx = jnp.arange(n)
+        free = idx >= P
+        mask2d = free[:, None] & free[None, :]
+        S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
+        rhs2 = jnp.where(free, rhs2, 0.0)
+        chol = jnp.linalg.cholesky(S2)
+        d_cam = jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, P)
+        # back-substitute depths (local to each shard)
+        Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
+        d_depth = D_inv * (b_d - Et_dc)
+        return d_cam, d_depth
+
+    def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
+        # trust region: cap per-frame TWIST norm, keep direction.  Only the
+        # 6 twist columns are scaled — the brightness gain/bias columns are
+        # exactly linear in the residual and need no cap.  d_cam is
+        # replicated under sharding, so the scaling is identical per shard.
+        norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
+        scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
+        d_xi = d_cam[:, :6] * scale
+        d_depth = jnp.clip(
+            d_depth, -max_depth_step * idepth, max_depth_step * idepth
+        )
+        if freeze_depth:
+            d_depth = jnp.zeros_like(d_depth)
+        new_poses = jax.vmap(
+            lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
+        )(poses.q, poses.t, d_xi)
+        new_poses = pose_mod.renormalize_first_order(
+            Pose(new_poses.q, new_poses.t)
+        )
+        new_ab = ab + d_cam[:, 6:8] if brightness else ab
+        new_idepth = jnp.maximum(idepth + d_depth, 1e-6)  # idepth stays +
+        return new_poses, new_ab, new_idepth
+
+    def make_body(freeze_depth, stage_max_iter):
+        def body(carry):
+            poses, ab, idepth, energy, lm, it, done = carry
+            d_cam, d_depth = gn(poses, ab, idepth, lm)
+            new_poses, new_ab, new_idepth = apply(
+                poses, ab, idepth, d_cam, d_depth, freeze_depth
+            )
+            new_energy, n_pairs = energy_of(new_poses, new_ab, new_idepth)
+            # the depth-finiteness vote must be GLOBAL under sharding: a
+            # shard-local `ok` would let shards accept/reject independently
+            # and silently diverge the replicated poses
+            bad_depth = red(jnp.sum(~jnp.isfinite(new_idepth)))
+            ok = (
+                jnp.isfinite(new_energy)
+                & (new_energy <= energy)
+                & (n_pairs >= min_pair_ratio * n_pairs0)  # visibility guard
+                & jnp.all(jnp.isfinite(new_poses.q))
+                & jnp.all(jnp.isfinite(new_poses.t))
+                & jnp.all(jnp.isfinite(new_ab))
+                & (bad_depth == 0)
+            )
+            poses = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_poses, poses
+            )
+            ab = jnp.where(ok, new_ab, ab)
+            idepth = jnp.where(ok, new_idepth, idepth)
+            lm = jnp.where(ok, lm * 0.3, lm * 10.0)
+            d_energy = energy - new_energy
+            done = jnp.logical_or(
+                it + 1 >= stage_max_iter,
+                jnp.logical_and(
+                    ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)
+                ),
+            )
+            energy = jnp.where(ok, new_energy, energy)
+            return poses, ab, idepth, energy, lm, it + 1, done
+        return body
+
+    ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (F, 1))
+    energy0, n_pairs0 = energy_of(win.poses, ab0, idepth_start)
+    carry = (
+        win.poses, ab0, idepth_start, energy0,
+        jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    if refine_depth:
+        # stage 1 never consumes the whole budget: depth refinement must not
+        # silently vanish for small max_iterations
+        stage1 = min(pose_only_iterations, max_iterations - 1)
+    else:
+        stage1 = max_iterations  # explicit pose-only solve
+    if stage1 > 0:
+        carry = jax.lax.while_loop(
+            lambda c: ~c[-1], make_body(True, stage1), carry
+        )
+    if stage1 < max_iterations:
+        # reset the done flag (keep lambda/energy) for the joint stage
+        carry = (*carry[:6], jnp.asarray(False))
+        carry = jax.lax.while_loop(
+            lambda c: ~c[-1], make_body(False, max_iterations), carry
+        )
+    poses, ab, idepth, energy, _, it, _ = carry
+    return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab)
+
+
 def solve_window(
     win: Window,
     *,
@@ -300,6 +486,7 @@ def solve_window(
     max_depth_step: float = 0.2,
     pose_only_iterations: int = 5,
     refine_depth: bool = True,
+    idepth_init=None,
 ) -> WindowResult:
     """LM-damped windowed photometric BA.  Jittable; fixed shapes.
 
@@ -359,95 +546,23 @@ def solve_window(
     inside the correct basin.  Set 0 to disable (pure joint solve), or
     ``refine_depth=False`` for an explicitly pose-only solve (all
     iterations frozen; used by the sliding window's coarse pre-stage).
+
+    ``idepth_init``: optional starting depths for the solve, SEPARATE from
+    the sensor anchor ``win.idepth`` the depth prior pulls toward — pass
+    the previous solve's refined depths here (not as ``win.idepth``) to
+    warm-start without re-centering the sensor prior.
     """
-
-    def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
-        # trust region: cap per-frame TWIST norm, keep direction.  Only the
-        # 6 twist columns are scaled — the brightness gain/bias columns are
-        # exactly linear in the residual and need no cap.
-        norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
-        scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
-        d_xi = d_cam[:, :6] * scale
-        d_depth = jnp.clip(
-            d_depth, -max_depth_step * idepth, max_depth_step * idepth
-        )
-        if freeze_depth:
-            d_depth = jnp.zeros_like(d_depth)
-        new_poses = jax.vmap(lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi)))(
-            poses.q, poses.t, d_xi
-        )
-        new_poses = pose_mod.renormalize_first_order(Pose(new_poses.q, new_poses.t))
-        new_ab = ab + d_cam[:, 6:8] if brightness else ab
-        new_idepth = jnp.maximum(idepth + d_depth, 1e-6)  # idepth must stay +
-        return new_poses, new_ab, new_idepth
-
-    w_prior = jnp.asarray(idepth_prior_weight, Float)
-
-    def make_body(freeze_depth, stage_max_iter):
-        def body(carry):
-            poses, ab, idepth, energy, lm, it, done = carry
-            d_cam, d_depth = _gn_step(
-                win, poses, idepth, lm, w_prior, interp_method, robust_delta,
-                ab=ab, brightness=brightness, pose_prior=pose_prior,
-            )
-            new_poses, new_ab, new_idepth = apply(
-                poses, ab, idepth, d_cam, d_depth, freeze_depth
-            )
-            new_energy, n_pairs = _energy(
-                win, new_poses, new_idepth, w_prior, interp_method, robust_delta,
-                ab=new_ab, pose_prior=pose_prior,
-            )
-            ok = (
-                jnp.isfinite(new_energy)
-                & (new_energy <= energy)
-                & (n_pairs >= min_pair_ratio * n_pairs0)  # visibility guard
-                & jnp.all(jnp.isfinite(new_poses.q))
-                & jnp.all(jnp.isfinite(new_poses.t))
-                & jnp.all(jnp.isfinite(new_ab))
-                & jnp.all(jnp.isfinite(new_idepth))
-            )
-            poses = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old), new_poses, poses
-            )
-            ab = jnp.where(ok, new_ab, ab)
-            idepth = jnp.where(ok, new_idepth, idepth)
-            lm = jnp.where(ok, lm * 0.3, lm * 10.0)
-            d_energy = energy - new_energy
-            done = jnp.logical_or(
-                it + 1 >= stage_max_iter,
-                jnp.logical_and(ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)),
-            )
-            energy = jnp.where(ok, new_energy, energy)
-            return poses, ab, idepth, energy, lm, it + 1, done
-        return body
-
-    ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (win.poses.q.shape[0], 1))
-    energy0, n_pairs0 = _energy(
-        win, win.poses, win.idepth, w_prior, interp_method, robust_delta,
-        ab=ab0, pose_prior=pose_prior,
+    return _solve_window_impl(
+        win, allreduce=None,
+        max_iterations=max_iterations, lm_init=lm_init,
+        idepth_prior_weight=idepth_prior_weight, energy_tol=energy_tol,
+        interp_method=interp_method, robust_delta=robust_delta,
+        brightness=brightness, pose_prior=pose_prior,
+        min_pair_ratio=min_pair_ratio, max_step=max_step,
+        max_depth_step=max_depth_step,
+        pose_only_iterations=pose_only_iterations, refine_depth=refine_depth,
+        idepth_init=idepth_init,
     )
-    carry = (
-        win.poses, ab0, win.idepth, energy0,
-        jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32), jnp.asarray(False),
-    )
-    if refine_depth:
-        # stage 1 never consumes the whole budget: depth refinement must not
-        # silently vanish for small max_iterations
-        stage1 = min(pose_only_iterations, max_iterations - 1)
-    else:
-        stage1 = max_iterations  # explicit pose-only solve
-    if stage1 > 0:
-        carry = jax.lax.while_loop(
-            lambda c: ~c[-1], make_body(True, stage1), carry
-        )
-    if stage1 < max_iterations:
-        # reset the done flag (keep λ/energy) for the joint stage
-        carry = (*carry[:6], jnp.asarray(False))
-        carry = jax.lax.while_loop(
-            lambda c: ~c[-1], make_body(False, max_iterations), carry
-        )
-    poses, ab, idepth, energy, _, it, _ = carry
-    return WindowResult(poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab)
 
 
 def solve_window_sharded(
@@ -468,6 +583,7 @@ def solve_window_sharded(
     max_depth_step: float = 0.2,
     pose_only_iterations: int = 5,
     refine_depth: bool = True,
+    idepth_init=None,
 ) -> WindowResult:
     """``solve_window`` with the candidate axis sharded over ``mesh[axis]``.
 
@@ -477,164 +593,28 @@ def solve_window_sharded(
     ``psum`` of the (6F, 6F+1) camera system per iteration rides the ICI;
     the small camera solve is replicated; depth back-substitution is local.
     Returns replicated poses and the candidate-sharded refined depths.
+
+    Delegates to the same ``_solve_window_impl`` body as ``solve_window``
+    with ``allreduce = psum`` — the two paths cannot drift apart.
     """
-    import jax as _jax
     from jax.sharding import PartitionSpec as P_
 
-    w_prior = jnp.asarray(idepth_prior_weight, Float)
+    F = win.poses.q.shape[0]
+    prior = pose_prior if pose_prior is not None else _zero_prior(F)
+    init = win.idepth if idepth_init is None else idepth_init
 
-    def sharded(win_local: Window, prior) -> WindowResult:
-        F = win_local.poses.q.shape[0]
-
-        def energy_of(poses, ab, idepth):
-            e, n = _energy(
-                win_local, poses, idepth, w_prior, interp_method, robust_delta,
-                ab=ab,
-            )
-            e = _jax.lax.psum(e, axis)
-            n = _jax.lax.psum(n, axis)
-            if prior is not None:
-                # prior term is replicated: add ONCE after the psum
-                # (un-halved, matching the sum-r^2 energy convention)
-                Hp, anchors = prior
-                rho = _prior_residual(poses, anchors)
-                e = e + jnp.einsum("fa,fagb,gb->", rho, Hp, rho)
-            return e, n
-
-        def gn(poses, ab, idepth, lm):
-            r, maskf, j_xi, j_d = _build(
-                win_local, poses, idepth, interp_method, robust_delta,
-                ab=ab, brightness=brightness,
-            )
-            P = j_xi.shape[-1]
-            A = jnp.einsum("fna,fnb->fab", j_xi, j_xi)
-            b_cam = -jnp.einsum("fna,fn->fa", j_xi, r)
-            validf = win_local.valid.astype(Float)
-            D = jnp.sum(j_d * j_d, axis=0) + w_prior * validf
-            b_d = -jnp.sum(j_d * r, axis=0) + w_prior * validf * (
-                win_local.idepth - idepth
-            )
-            E = j_xi * j_d[..., None]
-            eyeP = jnp.eye(P, dtype=Float)
-            A_damped = A * (1.0 + lm * eyeP)
-            D_damped = D * (1.0 + lm) + 1e-10
-            D_inv = 1.0 / D_damped
-            S_fill = jnp.einsum("fia,i,gib->fagb", E, D_inv, E)
-            rhs_fill = jnp.einsum("fia,i,i->fa", E, D_inv, b_d)
-            # one collective: local partials of the camera system
-            A_damped, b_cam, S_fill, rhs_fill = _jax.lax.psum(
-                (A_damped, b_cam, S_fill, rhs_fill), axis
-            )
-            # additive floor AFTER the psum (applied once, not per shard):
-            # regularizes exactly-zero diagonal entries (see _gn_step)
-            A_damped = A_damped + (lm * 1e-6 + 1e-8) * eyeP
-            S = jnp.zeros((F, P, F, P), Float)
-            S = S.at[jnp.arange(F), :, jnp.arange(F), :].add(A_damped)
-            S = S - S_fill
-            rhs = b_cam - rhs_fill
-            if prior is not None:
-                Hp, anchors = prior
-                rho = _prior_residual(poses, anchors)
-                Hp_p, rho_p = _pad_prior(Hp, rho, F, P)
-                S = S + Hp_p
-                rhs = rhs - jnp.einsum("fagb,gb->fa", Hp_p, rho_p)
-            n = P * F
-            S2 = S.reshape(n, n)
-            rhs2 = rhs.reshape(n)
-            idx = jnp.arange(n)
-            free = idx >= P
-            mask2d = free[:, None] & free[None, :]
-            S2 = jnp.where(mask2d, S2, jnp.eye(n, dtype=Float))
-            rhs2 = jnp.where(free, rhs2, 0.0)
-            chol = jnp.linalg.cholesky(S2)
-            d_cam = _jax.scipy.linalg.cho_solve((chol, True), rhs2).reshape(F, P)
-            Et_dc = jnp.einsum("fia,fa->i", E, d_cam)
-            d_depth = D_inv * (b_d - Et_dc)
-            return d_cam, d_depth
-
-        def apply(poses, ab, idepth, d_cam, d_depth, freeze_depth):
-            # trust region (see solve_window): twist columns only; d_cam is
-            # replicated, so the scaling is identical on every shard
-            norms = jnp.linalg.norm(d_cam[:, :6], axis=1, keepdims=True)
-            scale = jnp.minimum(1.0, max_step / jnp.maximum(norms, 1e-12))
-            d_xi = d_cam[:, :6] * scale
-            d_depth = jnp.clip(
-                d_depth, -max_depth_step * idepth, max_depth_step * idepth
-            )
-            if freeze_depth:
-                d_depth = jnp.zeros_like(d_depth)
-            new_poses = _jax.vmap(
-                lambda q, t, xi: pose_mod.compose(Pose(q, t), se3.exp(xi))
-            )(poses.q, poses.t, d_xi)
-            new_poses = pose_mod.renormalize_first_order(
-                Pose(new_poses.q, new_poses.t)
-            )
-            new_ab = ab + d_cam[:, 6:8] if brightness else ab
-            return new_poses, new_ab, jnp.maximum(idepth + d_depth, 1e-6)
-
-        def body(carry, freeze_depth=False, stage_max_iter=max_iterations):
-            poses, ab, idepth, energy, lm, it, done = carry
-            d_cam, d_depth = gn(poses, ab, idepth, lm)
-            new_poses, new_ab, new_idepth = apply(
-                poses, ab, idepth, d_cam, d_depth, freeze_depth
-            )
-            new_energy, n_pairs = energy_of(new_poses, new_ab, new_idepth)
-            # the depth-finiteness vote must be GLOBAL: a shard-local `ok`
-            # would let shards accept/reject independently and silently
-            # diverge the replicated poses
-            bad_depth = _jax.lax.psum(
-                jnp.sum(~jnp.isfinite(new_idepth)), axis
-            )
-            ok = (
-                jnp.isfinite(new_energy)
-                & (new_energy <= energy)
-                & (n_pairs >= min_pair_ratio * n_pairs0)  # visibility guard
-                & jnp.all(jnp.isfinite(new_poses.q))
-                & jnp.all(jnp.isfinite(new_poses.t))
-                & jnp.all(jnp.isfinite(new_ab))
-                & (bad_depth == 0)
-            )
-            poses = _jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old), new_poses, poses
-            )
-            ab = jnp.where(ok, new_ab, ab)
-            idepth = jnp.where(ok, new_idepth, idepth)
-            lm = jnp.where(ok, lm * 0.3, lm * 10.0)
-            d_energy = energy - new_energy
-            done = jnp.logical_or(
-                it + 1 >= stage_max_iter,
-                jnp.logical_and(
-                    ok, d_energy <= energy_tol * jnp.maximum(n_pairs, 1.0)
-                ),
-            )
-            energy = jnp.where(ok, new_energy, energy)
-            return poses, ab, idepth, energy, lm, it + 1, done
-
-        ab0 = jnp.tile(jnp.array([1.0, 0.0], Float), (F, 1))
-        energy0, n_pairs0 = energy_of(win_local.poses, ab0, win_local.idepth)
-        carry = (
-            win_local.poses, ab0, win_local.idepth, energy0,
-            jnp.asarray(lm_init, Float), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-        )
-        if refine_depth:
-            stage1 = min(pose_only_iterations, max_iterations - 1)
-        else:
-            stage1 = max_iterations
-        if stage1 > 0:
-            carry = _jax.lax.while_loop(
-                lambda c: ~c[-1],
-                lambda c: body(c, freeze_depth=True, stage_max_iter=stage1),
-                carry,
-            )
-        if stage1 < max_iterations:
-            carry = (*carry[:6], jnp.asarray(False))
-            carry = _jax.lax.while_loop(
-                lambda c: ~c[-1], lambda c: body(c), carry
-            )
-        poses, ab, idepth, energy, _, it, _ = carry
-        return WindowResult(
-            poses=poses, idepth=idepth, energy=energy, nb_iter=it, ab=ab
+    def run(win_local: Window, prior_local, init_local) -> WindowResult:
+        return _solve_window_impl(
+            win_local,
+            allreduce=lambda x: jax.lax.psum(x, axis),
+            max_iterations=max_iterations, lm_init=lm_init,
+            idepth_prior_weight=idepth_prior_weight, energy_tol=energy_tol,
+            interp_method=interp_method, robust_delta=robust_delta,
+            brightness=brightness, pose_prior=prior_local,
+            min_pair_ratio=min_pair_ratio, max_step=max_step,
+            max_depth_step=max_depth_step,
+            pose_only_iterations=pose_only_iterations,
+            refine_depth=refine_depth, idepth_init=init_local,
         )
 
     spec = Window(
@@ -651,17 +631,12 @@ def solve_window_sharded(
         poses=Pose(q=P_(), t=P_()), idepth=P_(axis), energy=P_(), nb_iter=P_(),
         ab=P_(),
     )
-    if pose_prior is None:
-        fn = jax.shard_map(
-            lambda w: sharded(w, None), mesh=mesh, in_specs=(spec,),
-            out_specs=out_spec,
-        )
-        return fn(win)
     prior_spec = (P_(), Pose(q=P_(), t=P_()))  # replicated
     fn = jax.shard_map(
-        sharded, mesh=mesh, in_specs=(spec, prior_spec), out_specs=out_spec
+        run, mesh=mesh, in_specs=(spec, prior_spec, P_(axis)),
+        out_specs=out_spec,
     )
-    return fn(win, pose_prior)
+    return fn(win, prior, init)
 
 
 def window_from_tracking(

@@ -29,10 +29,16 @@ Simplifications vs full DSO, documented on purpose:
   with zero mean-shift (prior residual = 0 there) — the standard
   "Gaussian centered at the marginalized MAP" form; no first-estimate
   Jacobian bookkeeping;
-- on a keyframe switch the prior is dropped instead of being transferred to
-  the new keyframe's coordinates (the transfer needs adjoint transport and
-  is second-order for the small inter-keyframe motions the flow criterion
-  allows through).
+- on a keyframe switch (default ``switch_transfer=True``) the window is
+  RE-ANCHORED on the new keyframe instead of being reset: members stay,
+  their models re-express as ``m'_f = m_f ∘ m_new⁻¹``, and the
+  accumulated prior transports to the new coordinates by the blockwise
+  adjoint congruence ``H'_{fg} = Adᵀ H_{fg} Ad, Ad = Adj(m_new⁻¹)``
+  (exact energy-preserving change of variables; first-order in the
+  re-anchoring of the mean) with the new keyframe's own block conditioned
+  out (it becomes the gauge).  ``switch_transfer=False`` restores the
+  round-2 behavior: reset the window and drop the prior at every switch —
+  measurably worse on multi-switch drift (see tests).
 
 TPU notes: window tensors are fixed-shape per window length, so each length
 (2..W) jits once and is cached; the marginalization is one (P,P) solve plus
@@ -49,6 +55,7 @@ import numpy as np
 
 from ..core.camera import Intrinsics
 from ..math import pose as pose_mod
+from ..math import se3
 from ..math.pose import Pose
 from ..ops import pyramid as pyramid_ops
 from ..utils.types import Float
@@ -107,6 +114,7 @@ class SlidingWindow:
         robust_delta: float = 0.0,
         brightness: bool = False,
         coarse_level: int = 1,
+        switch_transfer: bool = True,
     ):
         if window_size < 2:
             raise ValueError("window_size must be >= 2")
@@ -114,6 +122,7 @@ class SlidingWindow:
         self.intrinsics = intrinsics
         self.window_size = window_size
         self.marginalize = marginalize
+        self.switch_transfer = switch_transfer
         self._solve_opts = dict(
             max_iterations=max_iterations,
             idepth_prior_weight=idepth_prior_weight,
@@ -156,9 +165,10 @@ class SlidingWindow:
         if F not in self._solve_cache:
             opts = dict(self._solve_opts)
 
-            def run(win, Hp, aq, at):
+            def run(win, Hp, aq, at, idepth_init):
                 return photometric_ba.solve_window(
-                    win, pose_prior=(Hp, Pose(aq, at)), **opts
+                    win, pose_prior=(Hp, Pose(aq, at)),
+                    idepth_init=idepth_init, **opts
                 )
 
             self._solve_cache[F] = jax.jit(run)
@@ -195,13 +205,20 @@ class SlidingWindow:
         return self._system_cache[key]
 
     def _window(self, models: List[Pose], images: List[jnp.ndarray]):
+        """Window with ``win.idepth`` = the keyframe's SENSOR inverse depths.
+
+        The sensor measurement stays the depth prior's anchor for every
+        solve in the epoch; the previous solve's refined depths enter only
+        as the optimization starting point (``idepth_init``, see
+        ``add_frame``).  Re-feeding refined depths as the anchor would turn
+        the 1e4-weight sensor prior into a random walk (round-2 advisor
+        finding)."""
         poses = Pose(
             jnp.stack([m.q for m in models]), jnp.stack([m.t for m in models])
         )
-        win = photometric_ba.window_from_tracking(
+        return photometric_ba.window_from_tracking(
             self.config, self.intrinsics, self.kf_levels, jnp.stack(images), poses
         )
-        return win._replace(idepth=self.idepth)
 
     def _coarse_solver(self, F: int):
         key = ("coarse", F)
@@ -334,6 +351,67 @@ class SlidingWindow:
             jnp.stack([m.t for m in self.models]),
         )
 
+    def _switch_keyframe_transfer(self, depth, gray, refined_c2w: Pose, fid, pyr):
+        """Re-anchor the window on the NEWEST frame, transferring the prior.
+
+        Instead of resetting the window and dropping the marginalization
+        prior (round-2 behavior; the verdict's item 3), the switch is a
+        change of variables: with ``m_new`` the new keyframe's old model,
+
+        - members stay; models re-express as ``m'_f = m_f ∘ m_new⁻¹``
+          (so ``m'_new = identity`` — the new gauge);
+        - the prior transports by the exact energy-preserving congruence
+          ``H'_{fg} = Adᵀ H_{fg} Ad`` with ``Ad = Adj(m_new⁻¹)``
+          (``ρ' = Adj(m_new) ρ`` under the re-expression, so
+          ``ρ'ᵀH'ρ' = ρᵀHρ``; the re-anchoring of the mean at the current
+          estimates is the module's standard zero-mean-shift form);
+        - slots reorder to put the new keyframe first, and its own block
+          rows/columns are conditioned out (its pose becomes the
+          deterministic gauge definition, not an estimate — conditioning,
+          not marginalization, is the consistent operation, and it keeps
+          the prior PSD);
+        - candidates/inverse depths recompute from the new keyframe's
+          sensor data (a fresh depth epoch — the prior carries POSE
+          information only, like DSO's marginalized camera states).
+
+        The old keyframe stays in the window as a regular frame, now
+        tracked against the new template, and is the first to be
+        marginalized when the window fills.
+        """
+        F = len(self.models)
+        j = F - 1  # the switching (newest) frame
+        m_new = self.models[j]
+        inv_new = pose_mod.inverse(m_new)
+        new_models = [pose_mod.compose(m, inv_new) for m in self.models]
+        new_models[j] = pose_mod.identity()  # exact gauge, no f32 residue
+
+        Hp, _, _ = self._prior_for(F)
+        Ad = np.asarray(se3.adjoint(inv_new))  # (6, 6)
+        H = np.asarray(Hp)
+        # H'[f,x,g,y] = sum_{a,b} Ad[a,x] H[f,a,g,b] Ad[b,y]
+        Ht = np.einsum("ax,fagb,by->fxgy", Ad, H, Ad)
+        order = [j] + [i for i in range(F) if i != j]
+        Ht = Ht[order][:, :, order]
+        Ht[0, :, :, :] = 0.0  # condition out the new gauge frame
+        Ht[:, :, 0, :] = 0.0
+
+        # new keyframe data (fresh depth epoch)
+        if pyr is None:
+            pyr = self._pyr(jnp.asarray(gray))
+        kf = self._precompute(jnp.asarray(depth), pyr)
+        self.kf_levels = kf.levels
+        self.kf_c2w = refined_c2w
+        self.idepth = kf.levels[0].idepth
+        self.images = [self.images[i] for i in order]
+        self.images_coarse = [self.images_coarse[i] for i in order]
+        self.models = [new_models[i] for i in order]
+        self.frame_ids = [self.frame_ids[i] for i in order]
+        self.prior_H = jnp.asarray(Ht, Float)
+        self.prior_anchors = Pose(
+            jnp.stack([m.q for m in self.models]),
+            jnp.stack([m.t for m in self.models]),
+        )
+
     # -- public API --------------------------------------------------------
 
     def start(self, depth, gray, c2w: Pose | None = None) -> int:
@@ -399,7 +477,7 @@ class SlidingWindow:
         if self.coarse_level > 0:
             self._coarse_refine(F, Hp, aq, at)
         win = self._window(self.models, self.images)
-        result = self._solver(F)(win, Hp, aq, at)
+        result = self._solver(F)(win, Hp, aq, at, self.idepth)
         self.idepth = result.idepth
         self.models = [
             Pose(result.poses.q[i], result.poses.t[i]) for i in range(F)
@@ -415,6 +493,11 @@ class SlidingWindow:
 
         # keyframe switch on tracker flow criterion (newest frame vs keyframe)
         if self._flow(self.models[-1]) >= self.config.flow_threshold:
-            self._set_keyframe(depth, gray, refined[-1], fid, pyr=pyr_new)
+            if self.switch_transfer:
+                self._switch_keyframe_transfer(
+                    depth, gray, refined[-1], fid, pyr_new
+                )
+            else:
+                self._set_keyframe(depth, gray, refined[-1], fid, pyr=pyr_new)
             self.keyframe_switches += 1
         return ids, refined
