@@ -55,6 +55,17 @@ def main(argv=None) -> int:
     parser.add_argument("--loop-max-candidates", type=int, default=16)
     parser.add_argument("--loop-energy-accept", type=float, default=300.0,
                         help="max mean squared intensity for a verified edge")
+    parser.add_argument(
+        "--save-state", metavar="PATH",
+        help="checkpoint the tracking phase (tracker + trajectory + "
+        "keyframe store) to PATH every --save-every frames",
+    )
+    parser.add_argument("--save-every", type=int, default=100, metavar="N")
+    parser.add_argument(
+        "--resume", metavar="PATH",
+        help="resume tracking from a --save-state checkpoint (refuses on "
+        "config mismatch); loop closure + PGO run at the end as usual",
+    )
     args = parser.parse_args(argv)
 
     _common.apply_compilation_cache(args)
@@ -99,17 +110,31 @@ def main(argv=None) -> int:
     )
 
     # --- 1. track ---------------------------------------------------------
+    from ..utils import checkpoint as ckpt_mod
+
     trk = tracker_mod.init_tracker(
         config, intrinsics,
         associations[0].depth_timestamp, jnp.asarray(depth0),
         associations[0].color_timestamp, jnp.asarray(gray0),
     )
-    trajectory = [pose_mod.identity()]
-    timestamps = [associations[0].depth_timestamp]
-    keyframe_ids = [0]
-    kf_images = {0: (depth0, gray0)}
+    if args.resume:
+        trajectory, timestamps, keyframe_ids, kf_images, frames_done = (
+            ckpt_mod.load_slam(args.resume, trk)  # raises on mismatch
+        )
+        print(
+            f"resumed from {args.resume}: {frames_done} frames tracked, "
+            f"{len(keyframe_ids)} keyframes",
+            file=sys.stderr,
+        )
+    else:
+        trajectory = [pose_mod.identity()]
+        timestamps = [associations[0].depth_timestamp]
+        keyframe_ids = [0]
+        kf_images = {0: (depth0, gray0)}
+        frames_done = 0
+    todo = associations[1 + frames_done:]
     for idx, (assoc, (depth, gray)) in enumerate(
-        zip(associations[1:], tum_rgbd.frame_loader(associations[1:])), start=1
+        zip(todo, tum_rgbd.frame_loader(todo)), start=1 + frames_done
     ):
         before = trk.keyframe_switches
         trk.track(assoc.depth_timestamp, jnp.asarray(depth),
@@ -121,6 +146,12 @@ def main(argv=None) -> int:
         if trk.keyframe_switches > before:
             keyframe_ids.append(idx)
             kf_images[idx] = (depth, gray)
+        if args.save_state and (idx - frames_done) % max(1, args.save_every) == 0:
+            ckpt_mod.save_slam(
+                args.save_state, trk, trajectory, timestamps, keyframe_ids,
+                kf_images, idx,
+            )
+            print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
 
     # --- 2. loop closure over keyframes -----------------------------------
     lc = loop_closure.LoopClosureConfig(
@@ -154,10 +185,13 @@ def main(argv=None) -> int:
         nodes = Pose(
             jnp.stack([p.q for p in kf_poses]), jnp.stack([p.t for p in kf_poses])
         )
-        graph = pose_graph.odometry_graph(
-            nodes, loop_edges=[(i, j, z) for i, j, z, _ in edges]
-        )
-        result = pose_graph.solve(graph, max_iterations=30)
+        graph = pose_graph.odometry_graph(nodes, loop_edges=edges)
+        # small graphs: dense Cholesky; larger: PCG with the chain
+        # block-tridiagonal preconditioner (O(N+E)/iter vs O(N^3))
+        if len(keyframe_ids) <= 64:
+            result = pose_graph.solve(graph, max_iterations=30)
+        else:
+            result = pose_graph.solve_sparse(graph, max_iterations=30)
         print(
             f"pose graph: energy {float(result.energy):.3e} after "
             f"{int(result.nb_iter)} iterations",

@@ -24,6 +24,7 @@ tracking, reused across candidates).
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
@@ -84,6 +85,15 @@ def propose_candidates(
     ok = gap_ok & (dist < lc.radius) & (ang < lc.max_angle)
     pairs = [(int(i), int(j)) for i, j in zip(ii[ok], jj[ok])]
     pairs.sort(key=lambda p: dist[p[0], p[1]])
+    if len(pairs) > lc.max_candidates:
+        # no silent caps (repo standard): say what verification work the
+        # closest-first truncation is dropping
+        print(
+            f"loop_closure: {len(pairs)} proposals, verifying closest "
+            f"{lc.max_candidates}, dropping {len(pairs) - lc.max_candidates} "
+            f"(raise max_candidates to verify more)",
+            file=sys.stderr,
+        )
     return pairs[: lc.max_candidates]
 
 
@@ -101,48 +111,84 @@ def detect_loops(
     ``poses`` are the (drifting) camera-to-world estimates; ``depths`` /
     ``grays`` the per-frame images.  Returns a list of
     ``(i, j, Z_ij: Pose, energy: float)`` verified edges in the
-    ``parallel.pose_graph`` measurement convention ``Z_ij = T_i⁻¹ T_j``
-    (feed directly into ``pose_graph.odometry_graph(loop_edges=...)``).
+    ``parallel.pose_graph`` measurement convention ``Z_ij = T_i⁻¹ T_j``;
+    ``pose_graph.odometry_graph(loop_edges=edges)`` accepts them directly
+    (it ignores the trailing energy).
+
+    All candidate verifications run as ONE vmapped multi-level LM dispatch
+    (keyframe precompute is likewise one vmapped dispatch over the unique
+    ``i`` frames) — on a long trajectory the round-2 serial host loop paid
+    one device round trip per pair, which dominated wall time on remote
+    TPU transports.
     """
     pairs = propose_candidates(poses, lc, node_ids=node_ids)
     if not pairs:
         return []
 
-    pyr_fn = jax.jit(lambda g: pyramid_ops.mean_pyramid(config.nb_levels, g))
-    precompute = jax.jit(
-        lambda d, p: tracker_mod.precompute_keyframe(config, intrinsics, d, p)
+    uniq_i = sorted({i for i, _ in pairs})
+    uniq_j = sorted({j for _, j in pairs})
+    idx_i = jnp.asarray([uniq_i.index(i) for i, _ in pairs], jnp.int32)
+    idx_j = jnp.asarray([uniq_j.index(j) for _, j in pairs], jnp.int32)
+
+    pyr_batch = jax.jit(
+        jax.vmap(lambda g: pyramid_ops.mean_pyramid(config.nb_levels, g))
+    )
+    precompute_batch = jax.jit(
+        jax.vmap(
+            lambda d, *p: tracker_mod.precompute_keyframe(
+                config, intrinsics, d, list(p)
+            )
+        )
     )
 
-    @jax.jit
-    def verify(kf, pyr_j, init_model):
-        result = tracker_mod.track_frame(config, kf, pyr_j, init_model)
+    pyrs_i = pyr_batch(jnp.stack([jnp.asarray(grays[i]) for i in uniq_i]))
+    kfs = precompute_batch(
+        jnp.stack([jnp.asarray(depths[i]) for i in uniq_i]), *pyrs_i
+    )
+    pyrs_j = pyr_batch(jnp.stack([jnp.asarray(grays[j]) for j in uniq_j]))
+
+    # tracker model convention: model maps keyframe i pixels into frame j:
+    # model = T_j⁻¹ ∘ T_i  (cf. inverse_compositional.rs:177)
+    init_models = Pose(
+        jnp.stack(
+            [pose_mod.compose(pose_mod.inverse(poses[j]), poses[i]).q for i, j in pairs]
+        ),
+        jnp.stack(
+            [pose_mod.compose(pose_mod.inverse(poses[j]), poses[i]).t for i, j in pairs]
+        ),
+    )
+
+    def verify(kf, pyr_j_levels, init_model):
+        result = tracker_mod.track_frame(config, kf, pyr_j_levels, init_model)
         # final photometric quality at the finest level
         obs = kf.levels[0]
         energy, _, inside = tracker_mod._eval_energy(
-            obs, pyr_j[0], result.model, config.interp_method
+            obs, pyr_j_levels[0], result.model, config.interp_method
         )
         frac = jnp.sum(inside).astype(Float) / jnp.maximum(
             jnp.sum(obs.valid).astype(Float), 1.0
         )
         return result.model, result.failed, energy, frac
 
-    kf_cache = {}
-    pyr_cache = {}
+    @jax.jit
+    def verify_all(kfs_sel, pyrs_sel, inits):
+        return jax.vmap(
+            lambda kf, init, *p: verify(kf, list(p), init)
+        )(kfs_sel, inits, *pyrs_sel)
+
+    kfs_sel = jax.tree_util.tree_map(lambda a: a[idx_i], kfs)
+    pyrs_sel = [lvl[idx_j] for lvl in pyrs_j]
+    models, failed, energies, fracs = verify_all(kfs_sel, pyrs_sel, init_models)
+
+    failed = np.asarray(failed)
+    energies = np.asarray(energies)
+    fracs = np.asarray(fracs)
     edges = []
-    for (i, j) in pairs:
-        if i not in kf_cache:
-            pyr_i = pyr_fn(jnp.asarray(grays[i]))
-            kf_cache[i] = precompute(jnp.asarray(depths[i]), pyr_i)
-        if j not in pyr_cache:
-            pyr_cache[j] = pyr_fn(jnp.asarray(grays[j]))
-        # tracker model convention: model maps keyframe i pixels into frame j:
-        # model = T_j⁻¹ ∘ T_i  (cf. inverse_compositional.rs:177)
-        init_model = pose_mod.compose(pose_mod.inverse(poses[j]), poses[i])
-        model, failed, energy, frac = verify(kf_cache[i], pyr_cache[j], init_model)
-        e = float(energy)
-        if (not bool(failed)) and np.isfinite(e) and e <= lc.energy_accept \
-                and float(frac) >= lc.min_inside_frac:
+    for k, (i, j) in enumerate(pairs):
+        e = float(energies[k])
+        if (not bool(failed[k])) and np.isfinite(e) and e <= lc.energy_accept \
+                and float(fracs[k]) >= lc.min_inside_frac:
             # Z_ij = T_i⁻¹ T_j = model⁻¹
-            z = pose_mod.inverse(model)
+            z = pose_mod.inverse(Pose(models.q[k], models.t[k]))
             edges.append((i, j, z, e))
     return edges
