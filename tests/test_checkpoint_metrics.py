@@ -143,3 +143,65 @@ def test_cli_resume_mismatch_clean_error(tmp_path, capsys):
     )
     assert rc == 1
     assert "Cannot resume" in capsys.readouterr().err
+
+
+def test_slam_checkpoint_roundtrip(tmp_path):
+    """save_slam/load_slam restore tracker state + trajectory + keyframe
+    store so a resumed vors_slam continues identically (verdict item 6)."""
+    seq = synthetic.generate_sequence(nb_frames=5, height=48, width=64, seed=3,
+                                      twist_per_frame=[0.05, 0, 0, 0, 0, 0])
+    config = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3,
+                                       candidate_cap=256)
+
+    def make():
+        return tracker_mod.init_tracker(
+            config, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]),
+            0.0, jnp.asarray(seq.grays[0]),
+        )
+
+    trk = make()
+    trajectory = [trk.current_pose]
+    timestamps = [0.0]
+    keyframe_ids = [0]
+    kf_images = {0: (seq.depths[0], seq.grays[0])}
+    for f in (1, 2):
+        before = trk.keyframe_switches
+        trk.track(float(f), jnp.asarray(seq.depths[f]), float(f),
+                  jnp.asarray(seq.grays[f]))
+        trajectory.append(trk.current_pose)
+        timestamps.append(float(f))
+        if trk.keyframe_switches > before:
+            keyframe_ids.append(f)
+            kf_images[f] = (seq.depths[f], seq.grays[f])
+    path = str(tmp_path / "slam.npz")
+    checkpoint.save_slam(path, trk, trajectory, timestamps, keyframe_ids,
+                         kf_images, frames_done=2)
+
+    trk2 = make()
+    traj2, ts2, kids2, kimgs2, done2 = checkpoint.load_slam(path, trk2)
+    assert done2 == 2
+    assert kids2 == keyframe_ids
+    assert ts2 == timestamps
+    for a, b in zip(traj2, trajectory):
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    for fid in keyframe_ids:
+        np.testing.assert_array_equal(kimgs2[fid][0], np.asarray(kf_images[fid][0]))
+
+    # both trackers continue identically on the next frame
+    for t in (trk, trk2):
+        t.track(3.0, jnp.asarray(seq.depths[3]), 3.0, jnp.asarray(seq.grays[3]))
+    np.testing.assert_array_equal(
+        np.asarray(trk.current_pose.t), np.asarray(trk2.current_pose.t)
+    )
+
+    # mismatched config must refuse
+    config2 = tracker_mod.TrackerConfig(height=48, width=64, nb_levels=3,
+                                        candidate_cap=256, robust_delta=5.0)
+    trk3 = tracker_mod.init_tracker(
+        config2, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]),
+        0.0, jnp.asarray(seq.grays[0]),
+    )
+    import pytest as _pytest
+    with _pytest.raises(checkpoint.CheckpointMismatchError):
+        checkpoint.load_slam(path, trk3)

@@ -79,6 +79,17 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--idepth-prior-weight", type=float, default=1e4)
     parser.add_argument(
+        "--save-state", metavar="PATH",
+        help="sliding mode: checkpoint the window state to PATH every "
+        "--save-every frames (and at the end)",
+    )
+    parser.add_argument("--save-every", type=int, default=50, metavar="N")
+    parser.add_argument(
+        "--resume", metavar="PATH",
+        help="sliding mode: resume from a --save-state checkpoint (refuses "
+        "on config/window mismatch); already-processed frames are skipped",
+    )
+    parser.add_argument(
         "--energy-tol", type=float, default=1.0,
         help="per-pair d_energy stop (intensity^2).  The default matches the "
         "reference tracker's coarse stop: refinement corrects gross error "
@@ -153,12 +164,28 @@ def main(argv=None) -> int:
             robust_delta=args.robust_delta,
             brightness=args.brightness_model,
         )
+        from ..utils import checkpoint as ckpt_mod
+
         refined = [None] * len(associations)
         loader = iter(tum_rgbd.frame_loader(associations))
-        depth0_s, gray0_s = next(loader)
-        sw.start(depth0_s, gray0_s, c2w[0])
-        refined[0] = c2w[0]
-        for i, (depth_i, gray_i) in enumerate(loader, start=1):
+        start_at = 1
+        if args.resume:
+            ckpt_mod.load_sliding_window(args.resume, sw)  # raises on mismatch
+            start_at = sw._next_id
+            print(
+                f"resumed from {args.resume}: {start_at} frames already "
+                f"processed, {sw.keyframe_switches} keyframe switches",
+                file=sys.stderr,
+            )
+            for _ in range(start_at):  # skip consumed frames
+                next(loader)
+            for fid in range(start_at):
+                refined[fid] = c2w[fid]  # overwritten below for live window
+        else:
+            depth0_s, gray0_s = next(loader)
+            sw.start(depth0_s, gray0_s, c2w[0])
+            refined[0] = c2w[0]
+        for i, (depth_i, gray_i) in enumerate(loader, start=start_at):
             ids, poses = sw.add_frame(depth_i, gray_i, c2w[i])
             for fid, p in zip(ids, poses):
                 refined[fid] = p  # latest estimate wins (windows overlap)
@@ -167,6 +194,13 @@ def main(argv=None) -> int:
                 f"keyframe switches {sw.keyframe_switches}",
                 file=sys.stderr,
             )
+            if args.save_state and (
+                (i - start_at + 1) % max(1, args.save_every) == 0
+                or i == len(associations) - 1
+            ):
+                ckpt_mod.save_sliding_window(args.save_state, sw)
+                print(f"checkpointed window state to {args.save_state}",
+                      file=sys.stderr)
         for i, assoc in enumerate(associations[1:], start=1):
             pose = refined[i] if refined[i] is not None else c2w[i]
             print(tum_rgbd.Frame(timestamp=assoc.depth_timestamp, pose=pose).to_string())

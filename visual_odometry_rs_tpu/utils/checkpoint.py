@@ -123,3 +123,217 @@ def load_tracker(path: str, tracker) -> None:
     tracker.current_depth_timestamp = meta["current_depth_timestamp"]
     tracker.current_img_timestamp = meta["current_img_timestamp"]
     tracker.keyframe_switches = meta["keyframe_switches"]
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window checkpoint/resume (SURVEY §5: "required once sliding-window
+# BA exists" — the long-running refinement mode)
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_fingerprint(sw) -> str:
+    """Stable hash of everything that determines a SlidingWindow's
+    semantics: tracker config, intrinsics, window geometry and solve
+    options.  A resumed run with ANY of these changed would silently mix
+    incompatible state."""
+    payload = {
+        "config": dataclasses.asdict(sw.config),
+        "intrinsics": [
+            float(np.asarray(v)) for v in (sw.intrinsics.cx, sw.intrinsics.cy,
+                                           sw.intrinsics.fx, sw.intrinsics.fy,
+                                           sw.intrinsics.skew)
+        ],
+        "window_size": sw.window_size,
+        "marginalize": sw.marginalize,
+        "switch_transfer": sw.switch_transfer,
+        "coarse_level": sw.coarse_level,
+        "solve_opts": {k: v for k, v in sorted(sw._solve_opts.items())},
+    }
+    blob = json.dumps(payload, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _window_kf_template(sw):
+    """Keyframe-pytree TEMPLATE (structure only) via ``jax.eval_shape`` —
+    no compute, no compile; leaf shapes/dtypes come from the file."""
+    cfg = sw.config
+    depth = jax.ShapeDtypeStruct((cfg.height, cfg.width), np.uint16)
+    pyr = [jax.ShapeDtypeStruct(s, np.uint8) for s in cfg.level_shapes()]
+    return jax.eval_shape(sw._precompute, depth, pyr).levels
+
+
+def save_sliding_window(path: str, sw) -> None:
+    """Checkpoint a ``models.sliding_window.SlidingWindow`` mid-sequence."""
+    import jax.numpy as jnp
+
+    state = {
+        "kf_levels": sw.kf_levels,
+        "kf_c2w": sw.kf_c2w,
+        "idepth": sw.idepth,
+        "images": jnp.stack(sw.images),
+        "images_coarse": jnp.stack(sw.images_coarse),
+        "models_q": jnp.stack([m.q for m in sw.models]),
+        "models_t": jnp.stack([m.t for m in sw.models]),
+        "prior_H": sw.prior_H,
+        "prior_anchors": sw.prior_anchors,
+    }
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "sliding_window",
+        "config_fingerprint": sliding_window_fingerprint(sw),
+        "nb_frames": len(sw.models),
+        "frame_ids": list(map(int, sw.frame_ids)),
+        "keyframe_switches": sw.keyframe_switches,
+        "next_id": sw._next_id,
+    }
+    save_pytree(path, state, meta)
+
+
+def load_sliding_window(path: str, sw) -> None:
+    """Restore state saved by ``save_sliding_window`` into a freshly
+    constructed (un-started) ``SlidingWindow`` with the same configuration.
+
+    Raises ``CheckpointMismatchError`` on format-version or fingerprint
+    mismatch.  After loading, ``sw._next_id`` frames have been consumed —
+    resume feeding from that frame index.
+    """
+    from ..math.pose import Pose
+
+    raw = np.load(path)
+    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    version = meta.get("format_version")
+    if version != FORMAT_VERSION or meta.get("kind") != "sliding_window":
+        raise CheckpointMismatchError(
+            f"not a v{FORMAT_VERSION} sliding-window checkpoint "
+            f"(version {version!r}, kind {meta.get('kind')!r}): {path}"
+        )
+    expected = sliding_window_fingerprint(sw)
+    found = meta.get("config_fingerprint")
+    if found != expected:
+        raise CheckpointMismatchError(
+            f"checkpoint fingerprint {found!r} does not match the live "
+            f"window's {expected!r} — refusing to resume with mismatched "
+            f"window semantics ({path})"
+        )
+    template = {
+        "kf_levels": _window_kf_template(sw),
+        "kf_c2w": Pose(0.0, 0.0),
+        "idepth": 0.0,
+        "images": 0.0,
+        "images_coarse": 0.0,
+        "models_q": 0.0,
+        "models_t": 0.0,
+        "prior_H": 0.0,
+        "prior_anchors": Pose(0.0, 0.0),
+    }
+    state, _ = load_pytree(path, template)
+    F = meta["nb_frames"]
+    sw.kf_levels = state["kf_levels"]
+    sw.kf_c2w = state["kf_c2w"]
+    sw.idepth = state["idepth"]
+    sw.images = [state["images"][i] for i in range(F)]
+    sw.images_coarse = [state["images_coarse"][i] for i in range(F)]
+    sw.models = [
+        Pose(state["models_q"][i], state["models_t"][i]) for i in range(F)
+    ]
+    sw.prior_H = state["prior_H"]
+    sw.prior_anchors = state["prior_anchors"]
+    sw.frame_ids = list(meta["frame_ids"])
+    sw.keyframe_switches = meta["keyframe_switches"]
+    sw._next_id = meta["next_id"]
+
+
+# ---------------------------------------------------------------------------
+# SLAM pipeline checkpoint/resume (vors_slam phase 1: tracking + keyframe
+# store — the long-running part; loop closure + PGO run at the end)
+# ---------------------------------------------------------------------------
+
+
+def save_slam(
+    path: str, tracker, trajectory, timestamps, keyframe_ids, kf_images,
+    frames_done: int,
+) -> None:
+    """Checkpoint vors_slam's tracking phase: tracker state + trajectory so
+    far + the keyframe image store loop closure needs later."""
+    import jax.numpy as jnp
+
+    state = {
+        "keyframe_data": tracker.keyframe_data,
+        "keyframe_pose": tracker.keyframe_pose,
+        "current_pose": tracker.current_pose,
+        "traj_q": jnp.stack([p.q for p in trajectory]),
+        "traj_t": jnp.stack([p.t for p in trajectory]),
+        "kf_depths": np.stack([np.asarray(kf_images[i][0]) for i in keyframe_ids]),
+        "kf_grays": np.stack([np.asarray(kf_images[i][1]) for i in keyframe_ids]),
+    }
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "slam",
+        "config_fingerprint": config_fingerprint(tracker.config, tracker.intrinsics),
+        "keyframe_depth_timestamp": tracker.keyframe_depth_timestamp,
+        "keyframe_img_timestamp": tracker.keyframe_img_timestamp,
+        "current_depth_timestamp": tracker.current_depth_timestamp,
+        "current_img_timestamp": tracker.current_img_timestamp,
+        "keyframe_switches": tracker.keyframe_switches,
+        "timestamps": [float(t) for t in timestamps],
+        "keyframe_ids": list(map(int, keyframe_ids)),
+        "frames_done": frames_done,
+    }
+    save_pytree(path, state, meta)
+
+
+def load_slam(path: str, tracker):
+    """Restore a ``save_slam`` checkpoint into an initialized tracker.
+
+    Returns ``(trajectory, timestamps, keyframe_ids, kf_images,
+    frames_done)``; raises ``CheckpointMismatchError`` on version or
+    config-fingerprint mismatch.
+    """
+    from ..math.pose import Pose
+
+    raw = np.load(path)
+    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    version = meta.get("format_version")
+    if version != FORMAT_VERSION or meta.get("kind") != "slam":
+        raise CheckpointMismatchError(
+            f"not a v{FORMAT_VERSION} slam checkpoint "
+            f"(version {version!r}, kind {meta.get('kind')!r}): {path}"
+        )
+    expected = config_fingerprint(tracker.config, tracker.intrinsics)
+    found = meta.get("config_fingerprint")
+    if found != expected:
+        raise CheckpointMismatchError(
+            f"checkpoint config fingerprint {found!r} does not match the "
+            f"live tracker's {expected!r} ({path})"
+        )
+    template = {
+        "keyframe_data": tracker.keyframe_data,
+        "keyframe_pose": tracker.keyframe_pose,
+        "current_pose": tracker.current_pose,
+        "traj_q": 0.0,
+        "traj_t": 0.0,
+        "kf_depths": 0.0,
+        "kf_grays": 0.0,
+    }
+    state, _ = load_pytree(path, template)
+    tracker.keyframe_data = state["keyframe_data"]
+    tracker.keyframe_pose = state["keyframe_pose"]
+    tracker.current_pose = state["current_pose"]
+    tracker.keyframe_depth_timestamp = meta["keyframe_depth_timestamp"]
+    tracker.keyframe_img_timestamp = meta["keyframe_img_timestamp"]
+    tracker.current_depth_timestamp = meta["current_depth_timestamp"]
+    tracker.current_img_timestamp = meta["current_img_timestamp"]
+    tracker.keyframe_switches = meta["keyframe_switches"]
+    trajectory = [
+        Pose(state["traj_q"][i], state["traj_t"][i])
+        for i in range(state["traj_q"].shape[0])
+    ]
+    keyframe_ids = list(meta["keyframe_ids"])
+    kf_images = {
+        fid: (np.asarray(state["kf_depths"][k]), np.asarray(state["kf_grays"][k]))
+        for k, fid in enumerate(keyframe_ids)
+    }
+    return (
+        trajectory, list(meta["timestamps"]), keyframe_ids, kf_images,
+        meta["frames_done"],
+    )
