@@ -296,3 +296,114 @@ def test_oracle_full_track_equivalence(config):
     ate_repo = ate.ate_rmse(est_repo, seq.poses)
     ate_oracle = ate.ate_rmse(est_oracle, seq.poses)
     assert abs(ate_repo - ate_oracle) < 0.01, (ate_repo, ate_oracle)
+
+
+def test_oracle_long_noisy_track_equivalence():
+    """Round-3 verdict item 2b: a LONG sequence (47 tracked frames, several
+    keyframe switches, added sensor noise) — the switch pattern must stay
+    IDENTICAL and per-frame drift bounded, closing the gap between "toy
+    8-frame equivalence" and long-run behavior where a slow systematic
+    divergence would hide inside per-frame tolerances.
+
+    Measured: 6 switches, 0 pattern mismatches, max per-frame |dt| 5.1e-3
+    (spikes at hard frames, re-converging after — same basin behavior as
+    the short test)."""
+    Fn = 48
+    seq = synthetic.generate_sequence(
+        nb_frames=Fn, height=H, width=W, seed=29,
+        twist_per_frame=[0.03, -0.004, 0.003, 0.001, -0.0008, 0.0015],
+    )
+    # sensor noise: ±2 intensity levels, ±20 depth units (4 mm) — the SAME
+    # noisy arrays feed both implementations
+    rng = np.random.default_rng(7)
+    grays = [
+        np.clip(g.astype(np.int16) + rng.integers(-2, 3, g.shape), 0, 255)
+        .astype(np.uint8) for g in seq.grays
+    ]
+    depths = []
+    for d in seq.depths:
+        nd = d.astype(np.int32) + rng.integers(-20, 21, d.shape)
+        depths.append(
+            np.where(d > 0, np.clip(nd, 1, 65535), 0).astype(np.uint16)
+        )
+
+    cfg = tracker_mod.TrackerConfig(
+        height=H, width=W, nb_levels=LEVELS, interp_method="gather"
+    )
+    trk = tracker_mod.init_tracker(
+        cfg, seq.intrinsics, 0.0, jnp.asarray(depths[0]), 0.0,
+        jnp.asarray(grays[0]),
+    )
+    ocfg = _oracle_config(cfg, seq.intrinsics)
+    otrk = oracle.Tracker(ocfg, 0.0, depths[0], 0.0, grays[0])
+    n_switches = 0
+    max_dt = 0.0
+    for f in range(1, Fn):
+        before = trk.keyframe_switches
+        trk.track(float(f), jnp.asarray(depths[f]), float(f), jnp.asarray(grays[f]))
+        otrk.track(float(f), depths[f], float(f), grays[f])
+        sw_repo = trk.keyframe_switches > before
+        sw_oracle = otrk.last_changed_keyframe
+        assert sw_repo == sw_oracle, f"switch pattern diverged at frame {f}"
+        n_switches += int(sw_oracle)
+        _, p = trk.current_frame()
+        _, op = otrk.current_frame()
+        dt = float(np.max(np.abs(np.asarray(p.t) - op.t)))
+        max_dt = max(max_dt, dt)
+        # per-frame bound: basin-scale spikes allowed, divergence is not
+        assert dt < 2e-2, f"frame {f}: dt {dt}"
+    assert n_switches >= 4, n_switches  # several switches exercised
+    # drift must stay bounded over the whole run, not grow with length
+    assert max_dt < 1.5e-2, max_dt
+
+
+def test_oracle_production_resolution_track_equivalence():
+    """Round-3 verdict item 2a: repo-vs-oracle equivalence at the PRODUCTION
+    operating point — 640x480, 6 pyramid levels, the CLI's default
+    candidate cap (8192, truncating a ~full-res candidate field), several
+    frames with a keyframe switch.  The toy-scale tests can't see
+    resolution-dependent divergence (cap truncation, f32 accumulation over
+    ~100x more candidates); this one can.
+
+    Measured: per-frame dt <= 1.0e-3, identical switch pattern, flows
+    matching to 3 decimals; total runtime ~1 min on the CPU test box
+    (oracle ~0.3-1.7 s/frame)."""
+    Hp, Wp, Lp, Fn = 480, 640, 6, 6
+    seq = synthetic.generate_sequence(
+        nb_frames=Fn, height=Hp, width=Wp, seed=11,
+        twist_per_frame=[0.05, -0.006, 0.004, 0.0015, -0.001, 0.002],
+    )
+    cfg = tracker_mod.TrackerConfig(
+        height=Hp, width=Wp, nb_levels=Lp, interp_method="gather",
+        candidate_cap=8192,
+    )
+    trk = tracker_mod.init_tracker(
+        cfg, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]), 0.0,
+        jnp.asarray(seq.grays[0]),
+    )
+    ocfg = _oracle_config(cfg, seq.intrinsics)
+    otrk = oracle.Tracker(ocfg, 0.0, seq.depths[0], 0.0, seq.grays[0])
+    n_switches = 0
+    for f in range(1, Fn):
+        before = trk.keyframe_switches
+        trk.track(
+            float(f), jnp.asarray(seq.depths[f]), float(f),
+            jnp.asarray(seq.grays[f]),
+        )
+        otrk.track(float(f), seq.depths[f], float(f), seq.grays[f])
+        sw_repo = trk.keyframe_switches > before
+        sw_oracle = otrk.last_changed_keyframe
+        assert sw_repo == sw_oracle, f"switch pattern diverged at frame {f}"
+        n_switches += int(sw_oracle)
+        _, p = trk.current_frame()
+        _, op = otrk.current_frame()
+        np.testing.assert_allclose(
+            np.asarray(p.t), op.t, atol=5e-3, err_msg=f"frame {f} translation"
+        )
+        np.testing.assert_allclose(
+            np.asarray(p.q), op.q, atol=1e-3, err_msg=f"frame {f} quaternion"
+        )
+        np.testing.assert_allclose(
+            trk.last_flow, otrk.last_flow, atol=1e-2, err_msg=f"frame {f} flow"
+        )
+    assert n_switches >= 1, "scenario must exercise a keyframe switch"
