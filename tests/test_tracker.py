@@ -388,3 +388,27 @@ def test_candidate_cap_truncation_keeps_accuracy():
     ate_full = run(8192)
     ate_256 = run(256)  # ~17x truncation
     assert ate_256 < 1.5 * ate_full + 1e-4, (ate_full, ate_256)
+
+
+def test_level0_depth_byte_gather_bit_exact():
+    """The level-0 channel gather rides TWO raw u16 depth byte planes and
+    recomputes scale/depth post-gather (28% fewer MACs on the dominant
+    precompute matmul) — must be BIT-exact vs the 4-byte f32-idepth path
+    (forced here by passing an f32 depth map, which disables the shortcut)."""
+    from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+
+    seq_ = synthetic.generate_sequence(nb_frames=1, height=64, width=80, seed=3)
+    cfg = tracker_mod.TrackerConfig(height=64, width=80, nb_levels=4)
+    pyr = pyramid_ops.mean_pyramid(4, jnp.asarray(seq_.grays[0]))
+    kf_new = tracker_mod.precompute_keyframe(
+        cfg, seq_.intrinsics, jnp.asarray(seq_.depths[0]), pyr
+    )
+    kf_old = tracker_mod.precompute_keyframe(
+        cfg, seq_.intrinsics, jnp.asarray(seq_.depths[0], jnp.float32), pyr
+    )
+    for lvl in range(4):
+        a, b = kf_new.levels[lvl], kf_old.levels[lvl]
+        np.testing.assert_array_equal(np.asarray(a.idepth), np.asarray(b.idepth))
+        np.testing.assert_array_equal(np.asarray(a.jacobians), np.asarray(b.jacobians))
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.tmpl_vals), np.asarray(b.tmpl_vals))

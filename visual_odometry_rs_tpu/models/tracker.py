@@ -222,6 +222,8 @@ def _extract_level_onehot(
     gy: jnp.ndarray,
     tmpl_img: jnp.ndarray,
     cap: int,
+    depth_u16: jnp.ndarray | None = None,
+    depth_scale: float = 0.0,
 ):
     """Candidate compaction + per-candidate channel gathers with ZERO
     dynamic-index operations — everything is one-hot matmuls (MXU) and
@@ -301,33 +303,53 @@ def _extract_level_onehot(
 
     self_f = sel.astype(Float)
     # ALL channel gathers ride ONE bf16 MXU pass: small-int channels are
-    # exact in bf16 directly, and the f32 inverse depth is bit-cast into
-    # FOUR u8 byte planes (each exact in bf16), gathered, and reassembled —
-    # ~4x cheaper than a separate Precision.HIGHEST f32 matmul for z.
-    z_u32 = jax.lax.bitcast_convert_type(
-        flat_pad(idmap.idepth, 0.0), jnp.uint32
-    )
-    z_bytes = [
-        ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
-    ]
+    # exact in bf16 directly, and the inverse depth rides as u8 byte planes
+    # (each exact in bf16) — ~4x cheaper than a separate Precision.HIGHEST
+    # f32 matmul for z.  When the RAW u16 depth map is available (level 0,
+    # where the fused idepth pyramid IS ``scale / depth`` at candidate
+    # pixels), gather its TWO depth bytes instead of the f32 idepth's FOUR
+    # and recompute ``scale / depth`` after the gather — the identical f32
+    # division ``from_depth`` performs, so the result is bit-exact, and the
+    # dominant channel matmul shrinks from 7 to 5 byte planes (level 0 is
+    # ~75% of the whole channel-gather cost across the pyramid).
+    if depth_u16 is not None:
+        d16 = flat_pad(depth_u16, 0).astype(jnp.uint16)
+        z_bytes = [
+            (d16 & 0xFF).astype(jnp.bfloat16),
+            ((d16 >> 8) & 0xFF).astype(jnp.bfloat16),
+        ]
+    else:
+        z_u32 = jax.lax.bitcast_convert_type(
+            flat_pad(idmap.idepth, 0.0), jnp.uint32
+        )
+        z_bytes = [
+            ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
+        ]
+    nz = len(z_bytes)
     chans = jnp.concatenate(
         [flat_pad(gx, 0).astype(jnp.bfloat16),
          flat_pad(gy, 0).astype(jnp.bfloat16),
          flat_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes,
         axis=1,
-    )  # (C, 7m)
-    rows7 = jnp.dot(onehot_nat.astype(jnp.bfloat16), chans,
-                    preferred_element_type=Float)  # (cap, 7m)
+    )  # (C, (3+nz) m)
+    rows = jnp.dot(onehot_nat.astype(jnp.bfloat16), chans,
+                   preferred_element_type=Float)  # (cap, (3+nz) m)
 
     def pick(k):
-        return jnp.sum(rows7[:, k * m : (k + 1) * m] * self_f, axis=1)
+        return jnp.sum(rows[:, k * m : (k + 1) * m] * self_f, axis=1)
 
     gu, gv, tmpl_vals = pick(0), pick(1), pick(2)
-    z_u32_out = sum(
-        (pick(3 + k).astype(jnp.uint32) << (8 * k)) for k in range(4)
-    )
-    z = jax.lax.bitcast_convert_type(z_u32_out, Float)
-    z = jnp.where(valid, z, 0.0)  # padding slots decode garbage bits
+    if depth_u16 is not None:
+        depth_f = pick(3) + 256.0 * pick(4)  # exact: u16 < 2^24 in f32
+        # the exact division from_depth performs (depth > 0 at candidates)
+        z = jnp.asarray(depth_scale, Float) / jnp.maximum(depth_f, 1.0)
+        z = jnp.where(valid, z, 0.0)
+    else:
+        z_u32_out = sum(
+            (pick(3 + k).astype(jnp.uint32) << (8 * k)) for k in range(nz)
+        )
+        z = jax.lax.bitcast_convert_type(z_u32_out, Float)
+        z = jnp.where(valid, z, 0.0)  # padding slots decode garbage bits
     return xs.astype(Float), ys.astype(Float), z, valid, gu, gv, tmpl_vals
 
 
@@ -363,7 +385,10 @@ def precompute_keyframe(
         k = intr_levels[lvl]
         gx, gy = grads[lvl]
         xs, ys, z, valid, gu, gv, tmpl_vals = _extract_level_onehot(
-            id_levels[lvl], gx, gy, img_pyramid[lvl], caps[lvl]
+            id_levels[lvl], gx, gy, img_pyramid[lvl], caps[lvl],
+            depth_u16=depth_map
+            if lvl == 0 and depth_map.dtype == jnp.uint16 else None,
+            depth_scale=config.depth_scale,
         )
         jac = warp_jacobian(gu, gv, xs, ys, z, k)
         jac = jnp.where(valid[:, None], jac, 0.0)
