@@ -405,3 +405,89 @@ def test_cli_batch_switch_cadence(tmp_path):
             frames = tum_rgbd.parse_trajectory(f.read())
         assert len(frames) == 3
         assert all(np.isfinite(np.asarray(fr.pose.t)).all() for fr in frames)
+
+
+def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
+    """vors_refine --save-state/--resume: an interrupted run resumed from
+    its checkpoint must print the SAME refined trajectory as the
+    uninterrupted run — including frames refined BEFORE the checkpoint
+    (persisted in the checkpoint's extra channel), and without decoding
+    the already-consumed frames.  Also covers extension-less checkpoint
+    paths (atomic exact-path save)."""
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.cli import vors_refine
+    from visual_odometry_rs_tpu.math import se3
+
+    seq = synthetic.generate_sequence(
+        nb_frames=6, height=120, width=160, seed=31,
+        motion_scale=0.012, rot_scale=0.003,
+    )
+    assoc_path = tum_rgbd.write_sequence(
+        str(tmp_path), seq.grays, seq.depths, seq.timestamps
+    )
+    rng = np.random.default_rng(5)
+    drift = [pose_mod.identity()]
+    for _ in range(1, len(seq.poses)):
+        step = se3.exp(jnp.asarray(rng.normal(size=6) * 0.004, jnp.float32))
+        drift.append(pose_mod.compose(drift[-1], step))
+    drifted = [pose_mod.compose(p, d) for p, d in zip(seq.poses, drift)]
+    traj_path = str(tmp_path / "drifted.txt")
+    with open(traj_path, "w") as f:
+        for t, p in zip(seq.timestamps[1:], drifted[1:]):
+            f.write(tum_rgbd.Frame(timestamp=float(t), pose=p).to_string() + "\n")
+
+    common = ["fr1", assoc_path, traj_path, "--mode", "sliding", "--window", "3",
+              "--nb-levels", "3", "--candidate-cap", "1024",
+              "--interp", "gather", "--energy-tol", "0.05"]
+    ckpt = str(tmp_path / "window.ckpt")  # extension-less on purpose
+
+    # uninterrupted run, checkpointing every 3 frames (ckpt left at frame 3)
+    buf_full = io.StringIO()
+    with redirect_stdout(buf_full):
+        rc = vors_refine.main(common + ["--save-state", ckpt, "--save-every", "3"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ckpt)  # exact path, no silent .npz append
+
+    # drop the final-save state: re-run first 3 frames only to recreate the
+    # mid-run checkpoint, then resume
+    buf_mid = io.StringIO()
+    short_assoc = str(tmp_path / "short.txt")
+    with open(assoc_path) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    with open(short_assoc, "w") as f:
+        # first line is the '#' header comment; keep 4 association lines
+        # (frames 0..3) so the short run's state equals the full run's
+        # state after its frame-3 checkpoint
+        f.write("\n".join(lines[:5]) + "\n")
+    short_traj = str(tmp_path / "short_traj.txt")
+    with open(short_traj, "w") as f:
+        for t, p in zip(seq.timestamps[1:4], drifted[1:4]):
+            f.write(tum_rgbd.Frame(timestamp=float(t), pose=p).to_string() + "\n")
+    with redirect_stdout(buf_mid):
+        rc = vors_refine.main(
+            ["fr1", short_assoc, short_traj, "--mode", "sliding", "--window", "3",
+             "--nb-levels", "3", "--candidate-cap", "1024",
+             "--interp", "gather", "--energy-tol", "0.05",
+             "--save-state", ckpt, "--save-every", "3"]
+        )
+    assert rc == 0
+
+    buf_res = io.StringIO()
+    with redirect_stdout(buf_res):
+        rc = vors_refine.main(common + ["--resume", ckpt])
+    assert rc == 0
+    full = tum_rgbd.parse_trajectory(buf_full.getvalue())
+    res = tum_rgbd.parse_trajectory(buf_res.getvalue())
+    assert len(full) == len(res) == 5
+    for a, b in zip(full, res):
+        np.testing.assert_allclose(np.asarray(a.pose.t), np.asarray(b.pose.t),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.pose.q), np.asarray(b.pose.q),
+                                   atol=1e-7)
+
+    # mismatched resume must fail cleanly (different window size)
+    rc = vors_refine.main(common[:6] + ["4"] + common[7:] + ["--resume", ckpt])
+    assert rc == 1

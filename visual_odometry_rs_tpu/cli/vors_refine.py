@@ -167,21 +167,46 @@ def main(argv=None) -> int:
         from ..utils import checkpoint as ckpt_mod
 
         refined = [None] * len(associations)
-        loader = iter(tum_rgbd.frame_loader(associations))
+
+        def _refined_extra():
+            # refined-so-far trajectory rides in the checkpoint so a resume
+            # does not discard the refinement of frames that already left
+            # the window
+            q = np.stack([
+                np.asarray(p.q) if p is not None else np.zeros(4, np.float32)
+                for p in refined
+            ])
+            t = np.stack([
+                np.asarray(p.t) if p is not None else np.zeros(3, np.float32)
+                for p in refined
+            ])
+            mask = np.array([p is not None for p in refined])
+            return {"refined_q": q, "refined_t": t, "refined_mask": mask}
+
         start_at = 1
         if args.resume:
-            ckpt_mod.load_sliding_window(args.resume, sw)  # raises on mismatch
+            try:
+                extra = ckpt_mod.load_sliding_window(args.resume, sw)
+            except (ckpt_mod.CheckpointMismatchError, OSError, KeyError) as e:
+                print(f"Cannot resume: {e}", file=sys.stderr)
+                return 1
             start_at = sw._next_id
             print(
                 f"resumed from {args.resume}: {start_at} frames already "
                 f"processed, {sw.keyframe_switches} keyframe switches",
                 file=sys.stderr,
             )
-            for _ in range(start_at):  # skip consumed frames
-                next(loader)
-            for fid in range(start_at):
-                refined[fid] = c2w[fid]  # overwritten below for live window
+            if "refined_mask" in extra:
+                for fid in range(len(associations)):
+                    if fid < len(extra["refined_mask"]) and extra["refined_mask"][fid]:
+                        refined[fid] = Pose(
+                            jnp.asarray(extra["refined_q"][fid]),
+                            jnp.asarray(extra["refined_t"][fid]),
+                        )
+            # skip consumed frames WITHOUT decoding them
+            loader = iter(tum_rgbd.frame_loader(associations[start_at:]))
         else:
+            loader = iter(tum_rgbd.frame_loader(associations))
             depth0_s, gray0_s = next(loader)
             sw.start(depth0_s, gray0_s, c2w[0])
             refined[0] = c2w[0]
@@ -198,7 +223,7 @@ def main(argv=None) -> int:
                 (i - start_at + 1) % max(1, args.save_every) == 0
                 or i == len(associations) - 1
             ):
-                ckpt_mod.save_sliding_window(args.save_state, sw)
+                ckpt_mod.save_sliding_window(args.save_state, sw, _refined_extra())
                 print(f"checkpointed window state to {args.save_state}",
                       file=sys.stderr)
         for i, assoc in enumerate(associations[1:], start=1):

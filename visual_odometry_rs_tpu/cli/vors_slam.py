@@ -118,9 +118,13 @@ def main(argv=None) -> int:
         associations[0].color_timestamp, jnp.asarray(gray0),
     )
     if args.resume:
-        trajectory, timestamps, keyframe_ids, kf_images, frames_done = (
-            ckpt_mod.load_slam(args.resume, trk)  # raises on mismatch
-        )
+        try:
+            trajectory, timestamps, keyframe_ids, kf_images, frames_done = (
+                ckpt_mod.load_slam(args.resume, trk)
+            )
+        except (ckpt_mod.CheckpointMismatchError, OSError, KeyError) as e:
+            print(f"Cannot resume: {e}", file=sys.stderr)
+            return 1
         print(
             f"resumed from {args.resume}: {frames_done} frames tracked, "
             f"{len(keyframe_ids)} keyframes",

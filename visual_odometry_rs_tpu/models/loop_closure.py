@@ -148,15 +148,20 @@ def detect_loops(
     pyrs_j = pyr_batch(jnp.stack([jnp.asarray(grays[j]) for j in uniq_j]))
 
     # tracker model convention: model maps keyframe i pixels into frame j:
-    # model = T_j⁻¹ ∘ T_i  (cf. inverse_compositional.rs:177)
-    init_models = Pose(
-        jnp.stack(
-            [pose_mod.compose(pose_mod.inverse(poses[j]), poses[i]).q for i, j in pairs]
-        ),
-        jnp.stack(
-            [pose_mod.compose(pose_mod.inverse(poses[j]), poses[i]).t for i, j in pairs]
-        ),
+    # model = T_j⁻¹ ∘ T_i  (cf. inverse_compositional.rs:177).  ONE jitted
+    # batched compose — per-pair eager inverse/compose dispatches cost a
+    # tunnel round trip each on remote TPU transports.
+    pose_i = Pose(
+        jnp.stack([poses[i].q for i, _ in pairs]),
+        jnp.stack([poses[i].t for i, _ in pairs]),
     )
+    pose_j = Pose(
+        jnp.stack([poses[j].q for _, j in pairs]),
+        jnp.stack([poses[j].t for _, j in pairs]),
+    )
+    init_models = jax.jit(
+        jax.vmap(lambda pj, pi: pose_mod.compose(pose_mod.inverse(pj), pi))
+    )(pose_j, pose_i)
 
     def verify(kf, pyr_j_levels, init_model):
         result = tracker_mod.track_frame(config, kf, pyr_j_levels, init_model)

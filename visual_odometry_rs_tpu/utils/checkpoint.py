@@ -45,13 +45,23 @@ def config_fingerprint(config, intrinsics=None) -> str:
 
 
 def save_pytree(path: str, tree: Any, meta: dict | None = None) -> None:
-    """Serialize an arbitrary pytree of arrays to ``path`` (.npz)."""
+    """Serialize an arbitrary pytree of arrays to ``path`` (npz format).
+
+    The write is ATOMIC (tmp file + ``os.replace``) so a crash mid-save
+    cannot corrupt the previous checkpoint — periodic ``--save-state``
+    overwrites the same file, and a truncated npz would make every later
+    resume fail.  Writing through an open file handle also keeps the EXACT
+    path (bare ``np.savez(path)`` silently appends ``.npz``, which would
+    desynchronize save and load for extension-less paths)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     meta = dict(meta or {})
     meta.setdefault("format_version", FORMAT_VERSION)
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
     # treedef is reconstructed by the caller supplying a template tree
 
 
@@ -162,10 +172,17 @@ def _window_kf_template(sw):
     return jax.eval_shape(sw._precompute, depth, pyr).levels
 
 
-def save_sliding_window(path: str, sw) -> None:
-    """Checkpoint a ``models.sliding_window.SlidingWindow`` mid-sequence."""
+def save_sliding_window(path: str, sw, extra: dict | None = None) -> None:
+    """Checkpoint a ``models.sliding_window.SlidingWindow`` mid-sequence.
+
+    ``extra``: optional caller-owned dict of name → array, stored alongside
+    the window state and returned by ``load_sliding_window`` — e.g.
+    ``vors_refine`` persists the refined-so-far trajectory here so a resume
+    does not silently discard the refinement work of frames that had
+    already left the window."""
     import jax.numpy as jnp
 
+    extra = extra or {}
     state = {
         "kf_levels": sw.kf_levels,
         "kf_c2w": sw.kf_c2w,
@@ -177,6 +194,8 @@ def save_sliding_window(path: str, sw) -> None:
         "prior_H": sw.prior_H,
         "prior_anchors": sw.prior_anchors,
     }
+    for k, v in extra.items():
+        state[f"extra_{k}"] = np.asarray(v)
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "sliding_window",
@@ -185,13 +204,15 @@ def save_sliding_window(path: str, sw) -> None:
         "frame_ids": list(map(int, sw.frame_ids)),
         "keyframe_switches": sw.keyframe_switches,
         "next_id": sw._next_id,
+        "extra_keys": sorted(extra.keys()),
     }
     save_pytree(path, state, meta)
 
 
-def load_sliding_window(path: str, sw) -> None:
+def load_sliding_window(path: str, sw) -> dict:
     """Restore state saved by ``save_sliding_window`` into a freshly
-    constructed (un-started) ``SlidingWindow`` with the same configuration.
+    constructed (un-started) ``SlidingWindow`` with the same configuration;
+    returns the caller's ``extra`` dict (empty if none was saved).
 
     Raises ``CheckpointMismatchError`` on format-version or fingerprint
     mismatch.  After loading, ``sw._next_id`` frames have been consumed —
@@ -226,6 +247,8 @@ def load_sliding_window(path: str, sw) -> None:
         "prior_H": 0.0,
         "prior_anchors": Pose(0.0, 0.0),
     }
+    for k in meta.get("extra_keys", []):
+        template[f"extra_{k}"] = 0.0
     state, _ = load_pytree(path, template)
     F = meta["nb_frames"]
     sw.kf_levels = state["kf_levels"]
@@ -241,6 +264,7 @@ def load_sliding_window(path: str, sw) -> None:
     sw.frame_ids = list(meta["frame_ids"])
     sw.keyframe_switches = meta["keyframe_switches"]
     sw._next_id = meta["next_id"]
+    return {k: np.asarray(state[f"extra_{k}"]) for k in meta.get("extra_keys", [])}
 
 
 # ---------------------------------------------------------------------------
