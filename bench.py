@@ -242,7 +242,10 @@ def main() -> None:
     cadence_fps = scan_fps(state_div, clip_d, clip_g, 4, "fps_scan_b32_diverse_cadence4")
 
     # headline: best cadence-1 variant (identical reference-exact switch
-    # semantics; the sub-batch precompute is an implementation choice)
+    # semantics; the sub-batch precompute is an implementation choice).
+    # The chosen variant is recorded IN the JSON so trend readers can see
+    # when the headline came from a different implementation than before
+    # (the raw per-variant rows stay on stderr under stable keys).
     headline = max(diverse_fps, subbatch_fps)
     print(
         json.dumps(
@@ -251,6 +254,9 @@ def main() -> None:
                 "value": round(headline, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(headline / REFERENCE_FPS_ESTIMATE, 3),
+                "variant": (
+                    "subbatch4" if subbatch_fps > diverse_fps else "all_lanes"
+                ),
             }
         )
     )

@@ -286,3 +286,29 @@ def test_odometry_graph_accepts_detect_loops_tuples():
     np.testing.assert_array_equal(
         np.asarray(g3.edge_z.t), np.asarray(g4.edge_z.t)
     )
+
+
+def test_pose_graph_sparse_sharded_matches_unsharded():
+    """Edge-sharded sparse PGO on the 8-device mesh: the Jacobian/matvec
+    edge passes distribute over the devices (one psum per accumulation) and
+    the result must match the single-device solve up to f32 reduction
+    order — including with edge-count padding (E=67 chain+loop edges is not
+    a multiple of 8)."""
+    g, _ = _loopy_graph(60, 8)  # 59 chain + 8 loop = 67 edges
+    assert g.edge_i.shape[0] % 8 != 0  # exercises the weight-0 padding
+    m = mesh_mod.make_mesh((8,), ("graph",))
+    r_local = pose_graph.solve_sparse(g, max_iterations=15)
+    r_shard = pose_graph.solve_sparse_sharded(g, m, max_iterations=15)
+    # nb_iter may differ: near convergence, f32 psum reduction order can
+    # flip a knife-edge accept/reject and shift WHEN the d_energy stop
+    # fires — the converged energy and nodes still agree
+    assert int(r_shard.nb_iter) >= 1 and int(r_local.nb_iter) >= 1
+    np.testing.assert_allclose(
+        float(r_shard.energy), float(r_local.energy), rtol=1e-4, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_shard.nodes.t), np.asarray(r_local.nodes.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_shard.nodes.q), np.asarray(r_local.nodes.q), atol=1e-5
+    )

@@ -352,12 +352,13 @@ def test_cli_slam_pipeline(tmp_path, capsys):
     )
     assoc_path = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
 
+    cloud_path = str(tmp_path / "map.ply")
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = vors_slam.main(
             ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "1024",
              "--loop-min-gap", "6", "--loop-radius", "0.35",
-             "--loop-max-candidates", "4"]
+             "--loop-max-candidates", "4", "--export-cloud", cloud_path]
         )
     assert rc == 0
     err = capsys.readouterr().err
@@ -385,6 +386,14 @@ def test_cli_slam_pipeline(tmp_path, capsys):
     ate_track = ate.ate_rmse([f.pose for f in tracked], gt)
     # synthetic tracking is already near-exact; SLAM must not degrade it
     assert ate_slam <= ate_track + 2e-3, (ate_track, ate_slam)
+
+    # --export-cloud wrote a non-empty finite sparse map
+    from visual_odometry_rs_tpu.utils import pointcloud
+
+    pts, inten = pointcloud.read_ply(cloud_path)
+    assert len(pts) > nb_kf * 50
+    assert np.isfinite(pts).all()
+    assert f"exported {len(pts)} map points" in err
 
 def test_cli_batch_switch_cadence(tmp_path):
     """--switch-cadence plumbs through to the batched scan driver."""
@@ -491,3 +500,89 @@ def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
     # mismatched resume must fail cleanly (different window size)
     rc = vors_refine.main(common[:6] + ["4"] + common[7:] + ["--resume", ckpt])
     assert rc == 1
+
+
+def test_cli_resume_refusals(tmp_path, capsys):
+    """Resume must refuse cleanly (exit 1, no traceback) on: a corrupt /
+    non-npz checkpoint file (ValueError from np.load), and a checkpoint
+    written for a DIFFERENT input sequence (config fingerprints match but
+    consumed-frame timestamps don't); and vors_refine must reject
+    --save-state/--resume outside sliding mode at argparse time."""
+    import pytest
+
+    from visual_odometry_rs_tpu.cli import vors_refine, vors_slam
+
+    seq_a = synthetic.generate_sequence(
+        nb_frames=4, height=120, width=160, seed=11,
+        motion_scale=0.01, rot_scale=0.003,
+    )
+    # same camera/shape, different content AND different timestamps
+    seq_b = synthetic.generate_sequence(
+        nb_frames=4, height=120, width=160, seed=12,
+        motion_scale=0.01, rot_scale=0.003,
+    )
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    dir_a.mkdir(), dir_b.mkdir()
+    assoc_a = tum_rgbd.write_sequence(
+        str(dir_a), seq_a.grays, seq_a.depths, seq_a.timestamps
+    )
+    seq_b = seq_b._replace(timestamps=seq_b.timestamps + 1000.0)
+    assoc_b = tum_rgbd.write_sequence(
+        str(dir_b), seq_b.grays, seq_b.depths, seq_b.timestamps
+    )
+
+    def traj_file(seq, path):
+        with open(path, "w") as f:
+            for t, p in zip(seq.timestamps[1:], seq.poses[1:]):
+                f.write(
+                    tum_rgbd.Frame(timestamp=float(t), pose=p).to_string() + "\n"
+                )
+        return str(path)
+
+    traj_a = traj_file(seq_a, tmp_path / "ta.txt")
+    traj_b = traj_file(seq_b, tmp_path / "tb.txt")
+
+    refine_opts = ["--mode", "sliding", "--window", "3", "--nb-levels", "3",
+                   "--candidate-cap", "1024", "--interp", "gather"]
+    ckpt = str(tmp_path / "w.npz")
+
+    # flag misuse is an argparse error, not a silent no-op
+    with pytest.raises(SystemExit):
+        vors_refine.main(["fr1", assoc_a, traj_a, "--mode", "chunked",
+                          "--save-state", ckpt])
+    capsys.readouterr()
+
+    # write a real checkpoint on sequence A
+    rc = vors_refine.main(["fr1", assoc_a, traj_a, *refine_opts,
+                           "--save-state", ckpt, "--save-every", "2"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # resume against sequence B: same config fingerprint, different data
+    rc = vors_refine.main(["fr1", assoc_b, traj_b, *refine_opts,
+                           "--resume", ckpt])
+    assert rc == 1
+    assert "different input sequence" in capsys.readouterr().err
+
+    # corrupt checkpoint: clean refusal, not a traceback
+    bad = tmp_path / "bad.npz"
+    bad.write_text("this is not an npz file")
+    rc = vors_refine.main(["fr1", assoc_a, traj_a, *refine_opts,
+                           "--resume", str(bad)])
+    assert rc == 1
+    assert "Cannot resume" in capsys.readouterr().err
+
+    # vors_slam: same two refusals
+    slam_opts = ["--nb-levels", "3", "--candidate-cap", "1024",
+                 "--interp", "gather", "--loop-min-gap", "1"]
+    sck = str(tmp_path / "s.npz")
+    rc = vors_slam.main(["fr1", assoc_a, *slam_opts,
+                         "--save-state", sck, "--save-every", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = vors_slam.main(["fr1", assoc_b, *slam_opts, "--resume", sck])
+    assert rc == 1
+    assert "different input sequence" in capsys.readouterr().err
+    rc = vors_slam.main(["fr1", assoc_a, *slam_opts, "--resume", str(bad)])
+    assert rc == 1
+    assert "Cannot resume" in capsys.readouterr().err

@@ -99,6 +99,11 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.mode != "sliding" and (args.save_state or args.resume):
+        # a chunked run accepting --save-state would exit 0 having written
+        # no checkpoint — the loss would only surface at resume time
+        parser.error("--save-state/--resume require --mode sliding")
+
     _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
@@ -181,16 +186,43 @@ def main(argv=None) -> int:
                 for p in refined
             ])
             mask = np.array([p is not None for p in refined])
-            return {"refined_q": q, "refined_t": t, "refined_mask": mask}
+            # consumed-frame timestamps bind the checkpoint to THIS input
+            # sequence: config/window fingerprints alone would silently
+            # accept a resume against a different dataset with the same
+            # camera, mixing incompatible state
+            ts = np.array(
+                [a.depth_timestamp for a in associations[: sw._next_id]],
+                np.float64,
+            )
+            return {"refined_q": q, "refined_t": t, "refined_mask": mask,
+                    "consumed_ts": ts}
 
         start_at = 1
         if args.resume:
             try:
                 extra = ckpt_mod.load_sliding_window(args.resume, sw)
-            except (ckpt_mod.CheckpointMismatchError, OSError, KeyError) as e:
+            except (ckpt_mod.CheckpointMismatchError, OSError, KeyError,
+                    ValueError) as e:
+                # ValueError: np.load on a corrupt / non-npz file
                 print(f"Cannot resume: {e}", file=sys.stderr)
                 return 1
             start_at = sw._next_id
+            saved_ts = extra.get("consumed_ts")
+            if saved_ts is not None:
+                live_ts = np.array(
+                    [a.depth_timestamp for a in associations[: len(saved_ts)]],
+                    np.float64,
+                )
+                if len(live_ts) != len(saved_ts) or not np.allclose(
+                    live_ts, saved_ts, atol=1e-6
+                ):
+                    print(
+                        "Cannot resume: checkpoint was written for a "
+                        "different input sequence (consumed-frame timestamps "
+                        "do not match the associations file)",
+                        file=sys.stderr,
+                    )
+                    return 1
             print(
                 f"resumed from {args.resume}: {start_at} frames already "
                 f"processed, {sw.keyframe_switches} keyframe switches",

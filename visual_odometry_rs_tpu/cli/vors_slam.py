@@ -66,6 +66,11 @@ def main(argv=None) -> int:
         help="resume tracking from a --save-state checkpoint (refuses on "
         "config mismatch); loop closure + PGO run at the end as usual",
     )
+    parser.add_argument(
+        "--export-cloud", metavar="PATH",
+        help="write the sparse 3D map (keyframe candidate points back-"
+        "projected through the optimized poses) as an ASCII PLY file",
+    )
     args = parser.parse_args(argv)
 
     _common.apply_compilation_cache(args)
@@ -122,8 +127,28 @@ def main(argv=None) -> int:
             trajectory, timestamps, keyframe_ids, kf_images, frames_done = (
                 ckpt_mod.load_slam(args.resume, trk)
             )
-        except (ckpt_mod.CheckpointMismatchError, OSError, KeyError) as e:
+        except (ckpt_mod.CheckpointMismatchError, OSError, KeyError,
+                ValueError) as e:
+            # ValueError: np.load on a corrupt / non-npz file
             print(f"Cannot resume: {e}", file=sys.stderr)
+            return 1
+        # the config fingerprint alone would accept a checkpoint from a
+        # different dataset with the same camera — bind to the sequence by
+        # checking the tracked timestamps against the associations prefix
+        live_ts = np.array(
+            [a.depth_timestamp for a in associations[: frames_done + 1]],
+            np.float64,
+        )
+        if len(live_ts) != frames_done + 1 or not np.allclose(
+            np.asarray(timestamps[: frames_done + 1], np.float64), live_ts,
+            atol=1e-6,
+        ):
+            print(
+                "Cannot resume: checkpoint was written for a different "
+                "input sequence (tracked timestamps do not match the "
+                "associations file)",
+                file=sys.stderr,
+            )
             return 1
         print(
             f"resumed from {args.resume}: {frames_done} frames tracked, "
@@ -215,6 +240,22 @@ def main(argv=None) -> int:
 
     for ts, pose in zip(timestamps[1:], optimized[1:]):
         print(tum_rgbd.Frame(timestamp=ts, pose=pose).to_string())
+
+    if args.export_cloud:
+        from ..utils import pointcloud
+
+        pts, inten = pointcloud.keyframe_clouds(
+            config, intrinsics,
+            [kf_images[i][0] for i in keyframe_ids],
+            [kf_images[i][1] for i in keyframe_ids],
+            [optimized[i] for i in keyframe_ids],
+        )
+        pointcloud.write_ply(args.export_cloud, pts, inten)
+        print(
+            f"exported {len(pts)} map points from {len(keyframe_ids)} "
+            f"keyframes to {args.export_cloud}",
+            file=sys.stderr,
+        )
     return 0
 
 

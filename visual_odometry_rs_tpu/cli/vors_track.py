@@ -49,6 +49,17 @@ def main(argv=None) -> int:
         "the pose — for auto-exposure cameras",
     )
     parser.add_argument(
+        "--relocalize", type=int, default=0, metavar="K",
+        help="streaming mode: keep the last K keyframes and recover a lost "
+        "track (solver failure or photometric energy above "
+        "--relocalize-energy) against them in one vmapped solve; 0 = off "
+        "(reference-exact behavior: a lost frame keeps its previous pose)",
+    )
+    parser.add_argument(
+        "--relocalize-energy", type=float, default=150.0,
+        help="mean squared intensity above which a frame counts as lost",
+    )
+    parser.add_argument(
         "--metrics", action="store_true",
         help="print per-frame JSON metrics and a session summary to stderr",
     )
@@ -118,6 +129,8 @@ def main(argv=None) -> int:
         bucket_candidates=not args.no_bucket,
         robust_delta=args.robust_delta,
         brightness_model=args.brightness_model,
+        relocalize_window=max(0, args.relocalize),
+        relocalize_energy_accept=args.relocalize_energy,
     )
     if args.chunk > 0:
         if args.resume or args.save_state:
@@ -125,6 +138,14 @@ def main(argv=None) -> int:
                 "--chunk uses functional (device-resident) tracker state and "
                 "does not support --resume/--save-state; run without --chunk "
                 "for checkpointing",
+                file=sys.stderr,
+            )
+            return 1
+        if args.relocalize > 0:
+            print(
+                "--relocalize is a streaming-Tracker recovery path and is "
+                "not supported with --chunk (the fused scan has no host "
+                "keyframe ring); run without --chunk",
                 file=sys.stderr,
             )
             return 1
@@ -157,6 +178,7 @@ def main(argv=None) -> int:
         zip(associations[1:], frames), start=1
     ):
         switches_before = trk.keyframe_switches
+        relocs_before = trk.relocalizations
         with metrics_mod.Timer() as timer:
             trk.track(
                 assoc.depth_timestamp,
@@ -167,6 +189,12 @@ def main(argv=None) -> int:
         print(f"Optical_flow: {trk.last_flow}", file=sys.stderr)
         if trk.last_failed:
             print("Error at Cholesky decomposition of hessian", file=sys.stderr)
+        if trk.relocalizations > relocs_before:
+            print(
+                f"Relocalized against keyframe ring "
+                f"(energy {trk.last_energy:.1f})",
+                file=sys.stderr,
+            )
         timestamp, pose = trk.current_frame()
         print(tum_rgbd.Frame(timestamp=timestamp, pose=pose).to_string(), flush=True)
         if args.metrics:

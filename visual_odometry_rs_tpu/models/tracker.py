@@ -95,6 +95,20 @@ class TrackerConfig:
     # f32 rounding from the unbucketed path.
     bucket_candidates: bool = False
     min_bucket: int = 256
+    # host-side Tracker only (green-field; the reference has no recovery
+    # path — a lost frame just keeps its previous pose,
+    # inverse_compositional.rs:195-199): keep the last K keyframes and, when
+    # a frame's track fails (Cholesky failure) or its final finest-level
+    # energy exceeds ``relocalize_energy_accept``, re-track the frame
+    # against ALL of them from identity inits in ONE vmapped dispatch
+    # ("we are near one of these keyframes"), adopting the best verified
+    # pose and re-activating that keyframe (models/relocalize.py).  While a
+    # frame is in this recovery regime the ordinary flow-criterion keyframe
+    # switch is suppressed, so an untrackable frame can never become the
+    # map anchor.  0 = off (reference-exact).
+    relocalize_window: int = 0
+    relocalize_energy_accept: float = 150.0
+    relocalize_min_inside_frac: float = 0.5
 
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
@@ -766,7 +780,12 @@ class Tracker:
             new_current = jax.tree_util.tree_map(
                 lambda ok, old: jnp.where(result.failed, old, ok), proposed, cur_pose
             )
-            diag = jnp.stack([result.flow, result.failed.astype(Float)])
+            # final finest-level photometric energy: lost-track detector for
+            # the relocalization path (and a per-frame quality diagnostic)
+            energy, _, _ = _eval_energy(
+                kf.levels[0], pyr[0], result.model, config.interp_method
+            )
+            diag = jnp.stack([result.flow, result.failed.astype(Float), energy])
             return new_current, diag, pyr
 
         self._step = jax.jit(_step)
@@ -776,7 +795,8 @@ class Tracker:
         self._slice_cache = {}
 
         pyr = self._pyramid(img)
-        self.keyframe_data = self._maybe_bucket(self._precompute(depth_map, pyr))
+        raw_kf = self._precompute(depth_map, pyr)
+        self.keyframe_data = self._maybe_bucket(raw_kf)
         self.keyframe_pose = pose_mod.identity()
         self.keyframe_depth_timestamp = depth_timestamp
         self.keyframe_img_timestamp = img_timestamp
@@ -786,7 +806,17 @@ class Tracker:
         # per-frame diagnostics (metrics/observability; SURVEY §5)
         self.last_flow: float = 0.0
         self.last_failed: bool = False
+        self.last_energy: float = 0.0
         self.keyframe_switches: int = 0
+        # relocalization ring (models/relocalize.py): UNBUCKETED keyframe
+        # data (uniform static shapes -> stackable for the vmapped attempt)
+        self.relocalizations: int = 0
+        self._reloc_history = []
+        self._reloc_fn_cache = {}
+        if config.relocalize_window > 0:
+            self._reloc_history.append(
+                (raw_kf, self.keyframe_pose, depth_timestamp, img_timestamp)
+            )
 
     def track(
         self,
@@ -808,13 +838,66 @@ class Tracker:
         self.current_pose = new_current
         self.last_failed = bool(diag_host[1])
         self.last_flow = float(diag_host[0])
+        self.last_energy = float(diag_host[2])
+
+        if self.config.relocalize_window > 0 and (
+            self.last_failed
+            or not np.isfinite(self.last_energy)
+            or self.last_energy > self.config.relocalize_energy_accept
+        ):
+            # lost track: try to recover against the keyframe ring; whether
+            # or not recovery succeeds, never let an untrackable frame
+            # become the map anchor (suppress the flow-criterion switch)
+            self._try_relocalize(pyr)
+            return
 
         if self.last_flow >= self.config.flow_threshold:
-            self.keyframe_data = self._maybe_bucket(self._precompute(depth_map, pyr))
+            raw_kf = self._precompute(depth_map, pyr)
+            self.keyframe_data = self._maybe_bucket(raw_kf)
             self.keyframe_depth_timestamp = depth_timestamp
             self.keyframe_img_timestamp = img_timestamp
             self.keyframe_pose = self.current_pose
             self.keyframe_switches += 1
+            if self.config.relocalize_window > 0:
+                self._reloc_history.append(
+                    (raw_kf, self.keyframe_pose, depth_timestamp, img_timestamp)
+                )
+                del self._reloc_history[: -self.config.relocalize_window]
+
+    def _try_relocalize(self, pyr) -> None:
+        """Recover the lost frame against the keyframe ring (ONE vmapped
+        dispatch, models/relocalize.py).  On success, adopt the recovered
+        pose and RE-ACTIVATE the matched keyframe as the tracking anchor;
+        on failure, keep the reference behavior (previous pose retained)."""
+        import numpy as np
+
+        from . import relocalize as reloc_mod
+
+        kfs, kf_q, kf_t = reloc_mod.stack_history(self._reloc_history)
+        K = len(self._reloc_history)
+        if K not in self._reloc_fn_cache:
+            cfg = self.config
+            self._reloc_fn_cache[K] = jax.jit(
+                lambda kfs, q, t, *pyr: reloc_mod.attempt(
+                    cfg, kfs, q, t, list(pyr),
+                    cfg.relocalize_energy_accept,
+                    cfg.relocalize_min_inside_frac,
+                )
+            )
+        res = self._reloc_fn_cache[K](kfs, kf_q, kf_t, *pyr)
+        ok = bool(np.asarray(res.ok))
+        if not ok:
+            return
+        best = int(np.asarray(res.best))
+        self.current_pose = res.pose
+        raw_kf, kf_pose, kf_dts, kf_its = self._reloc_history[best]
+        self.keyframe_data = self._maybe_bucket(raw_kf)
+        self.keyframe_pose = kf_pose
+        self.keyframe_depth_timestamp = kf_dts
+        self.keyframe_img_timestamp = kf_its
+        self.last_failed = False
+        self.last_energy = float(np.asarray(res.energy))
+        self.relocalizations += 1
 
     def _maybe_bucket(self, kf: KeyframeData) -> KeyframeData:
         """Slice keyframe candidate arrays to power-of-two buckets.

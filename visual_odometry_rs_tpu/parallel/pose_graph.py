@@ -159,7 +159,7 @@ def solve(graph: PoseGraph, *, max_iterations: int = 20) -> PGOResult:
     return PGOResult(nodes=nodes, energy=energy, nb_iter=it)
 
 
-def _edge_hessian_blocks(graph: PoseGraph, ji, jj):
+def _edge_hessian_blocks(ji, jj):
     """Per-edge 6x6 Gauss-Newton blocks (Hii, Hjj, Hij)."""
     Hii = jnp.einsum("eab,eac->ebc", ji, ji)
     Hjj = jnp.einsum("eab,eac->ebc", jj, jj)
@@ -200,32 +200,21 @@ def _block_tridiag_solve(D, U, r):
     return X
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cg_iters"))
-def solve_sparse(
+def _solve_sparse_impl(
     graph: PoseGraph,
     *,
-    max_iterations: int = 20,
-    cg_iters: int = 100,
-    cg_tol: float = 1e-7,
+    max_iterations: int,
+    cg_iters: int,
+    cg_tol: float,
+    reduce,
 ) -> PGOResult:
-    """LM pose-graph optimization exploiting chain+loop sparsity.
+    """Shared body of ``solve_sparse`` / ``solve_sparse_sharded``.
 
-    The dense ``solve`` assembles and Cholesky-factors the full 6N x 6N
-    system — O(N³), a wall at hundreds of keyframes.  A SLAM graph is a
-    chain plus a few loop edges, so here each LM step solves the damped
-    normal equations with **preconditioned conjugate gradients**:
-
-    - the matrix is never materialized — ``H v`` is an O(E) edge-wise pass
-      (two 6x6 matvecs per edge + segment-sum scatter);
-    - the preconditioner is the exact **block-tridiagonal chain part**
-      (damped diagonal + consecutive-edge couplings), solved O(N) by block
-      Thomas (``_block_tridiag_solve``);
-    - loop edges are a low-rank perturbation of the chain, so PCG converges
-      in ~O(#loops) iterations regardless of N.
-
-    Same gauge (node 0 fixed), damping, and accept/reject semantics as
-    ``solve``; results match the dense solve to CG tolerance.  O(N + E) per
-    iteration, scaling to thousands of nodes.
+    ``reduce`` is applied to every edge-accumulated quantity (energy,
+    gradient, H-diagonal, matvec output, preconditioner blocks): identity
+    when the graph's edges are all local, ``psum`` when they are sharded
+    over a mesh axis — the two paths compute the same numbers by
+    construction (up to f32 reduction order).
     """
     N = graph.nodes.q.shape[0]
     mask = jnp.ones((N, 6), Float).at[0].set(0.0)  # gauge-fix node 0
@@ -233,19 +222,19 @@ def solve_sparse(
 
     def energy_of(nodes):
         r = residuals(graph, nodes)
-        return jnp.sum(r * r)
+        return reduce(jnp.sum(r * r))
 
     def step_system(nodes, lm):
         ji, jj, r = _edge_jacobians(graph, nodes)
         g = jnp.zeros((N, 6), Float)
         g = g.at[graph.edge_i].add(-jnp.einsum("eab,ea->eb", ji, r))
         g = g.at[graph.edge_j].add(-jnp.einsum("eab,ea->eb", jj, r))
-        g = g * mask
+        g = reduce(g) * mask
         # diagonal entries of H (for Marquardt damping + floor)
         d = jnp.zeros((N, 6), Float)
         d = d.at[graph.edge_i].add(jnp.einsum("eab,eab->eb", ji, ji))
         d = d.at[graph.edge_j].add(jnp.einsum("eab,eab->eb", jj, jj))
-        damp = lm * d + 1e-8
+        damp = lm * reduce(d) + 1e-8
 
         def matvec(v):
             vm = v * mask
@@ -255,17 +244,19 @@ def solve_sparse(
             out = jnp.zeros((N, 6), Float)
             out = out.at[graph.edge_i].add(jnp.einsum("eab,ea->eb", ji, rv))
             out = out.at[graph.edge_j].add(jnp.einsum("eab,ea->eb", jj, rv))
-            return mask * (out + damp * vm) + (1.0 - mask) * v
+            return mask * (reduce(out) + damp * vm) + (1.0 - mask) * v
 
         # chain-part preconditioner blocks
-        Hii, Hjj, Hij = _edge_hessian_blocks(graph, ji, jj)
+        Hii, Hjj, Hij = _edge_hessian_blocks(ji, jj)
         D = jnp.zeros((N, 6, 6), Float)
         D = D.at[graph.edge_i].add(Hii)
         D = D.at[graph.edge_j].add(Hjj)
+        D = reduce(D)
         i6 = jnp.arange(6)
         D = D.at[:, i6, i6].add(damp)
         U = jnp.zeros((N, 6, 6), Float)
         U = U.at[graph.edge_i].add(Hij * chain[:, None, None])
+        U = reduce(U)
         # gauge: node 0 block = identity, decoupled from node 1
         D = D.at[0].set(jnp.eye(6, dtype=Float))
         U = U.at[0].set(jnp.zeros((6, 6), Float))
@@ -339,6 +330,104 @@ def solve_sparse(
          jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     return PGOResult(nodes=nodes, energy=energy, nb_iter=it)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "cg_iters"))
+def solve_sparse(
+    graph: PoseGraph,
+    *,
+    max_iterations: int = 20,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-7,
+) -> PGOResult:
+    """LM pose-graph optimization exploiting chain+loop sparsity.
+
+    The dense ``solve`` assembles and Cholesky-factors the full 6N x 6N
+    system — O(N³), a wall at hundreds of keyframes.  A SLAM graph is a
+    chain plus a few loop edges, so here each LM step solves the damped
+    normal equations with **preconditioned conjugate gradients**:
+
+    - the matrix is never materialized — ``H v`` is an O(E) edge-wise pass
+      (two 6x6 matvecs per edge + segment-sum scatter);
+    - the preconditioner is the exact **block-tridiagonal chain part**
+      (damped diagonal + consecutive-edge couplings), solved O(N) by block
+      Thomas (``_block_tridiag_solve``);
+    - loop edges are a low-rank perturbation of the chain, so PCG converges
+      in ~O(#loops) iterations regardless of N.
+
+    Same gauge (node 0 fixed), damping, and accept/reject semantics as
+    ``solve``; results match the dense solve to CG tolerance.  O(N + E) per
+    iteration, scaling to thousands of nodes.
+    """
+    return _solve_sparse_impl(
+        graph, max_iterations=max_iterations, cg_iters=cg_iters,
+        cg_tol=cg_tol, reduce=lambda x: x,
+    )
+
+
+def solve_sparse_sharded(
+    graph: PoseGraph,
+    mesh,
+    axis: str = "graph",
+    *,
+    max_iterations: int = 20,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-7,
+) -> PGOResult:
+    """``solve_sparse`` with the EDGE axis sharded over ``mesh[axis]``.
+
+    The O(E) work per LM step (forward-mode edge Jacobians, the PCG
+    edge-wise matvec, preconditioner block assembly) runs on local edge
+    shards; node-space vectors stay replicated (6N floats per node — tiny)
+    and every edge accumulation reduces with one ``psum``.  This is the
+    distribution layout for pose-graph optimization at fleet scale (SURVEY
+    §5: PGO "over DCN at the top"): edges partition by trajectory segment,
+    the psum rides the mesh.  Results match ``solve_sparse`` up to f32
+    reduction order.
+
+    Edges are padded to a multiple of the mesh axis with weight-0 self
+    edges, which contribute exactly zero to every accumulated quantity.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+    E = graph.edge_i.shape[0]
+    pad = (-E) % ndev
+    if pad:
+        ident_q = jnp.tile(
+            jnp.asarray([1.0, 0.0, 0.0, 0.0], Float)[None], (pad, 1)
+        )
+        graph = PoseGraph(
+            nodes=graph.nodes,
+            edge_i=jnp.concatenate([graph.edge_i, jnp.zeros(pad, jnp.int32)]),
+            edge_j=jnp.concatenate([graph.edge_j, jnp.zeros(pad, jnp.int32)]),
+            edge_z=Pose(
+                jnp.concatenate([graph.edge_z.q, ident_q]),
+                jnp.concatenate([graph.edge_z.t, jnp.zeros((pad, 3), Float)]),
+            ),
+            edge_weight=jnp.concatenate(
+                [graph.edge_weight, jnp.zeros(pad, Float)]
+            ),
+        )
+
+    graph_spec = PoseGraph(
+        nodes=Pose(q=P(), t=P()),
+        edge_i=P(axis),
+        edge_j=P(axis),
+        edge_z=Pose(q=P(axis), t=P(axis)),
+        edge_weight=P(axis),
+    )
+    out_spec = PGOResult(nodes=Pose(q=P(), t=P()), energy=P(), nb_iter=P())
+    fn = jax.shard_map(
+        lambda g: _solve_sparse_impl(
+            g, max_iterations=max_iterations, cg_iters=cg_iters,
+            cg_tol=cg_tol, reduce=lambda x: jax.lax.psum(x, axis),
+        ),
+        mesh=mesh,
+        in_specs=(graph_spec,),
+        out_specs=out_spec,
+    )
+    return fn(graph)
 
 
 def odometry_graph(nodes: Pose, loop_edges=(), noise_weight: float = 1.0) -> PoseGraph:

@@ -133,6 +133,27 @@ def load_tracker(path: str, tracker) -> None:
     tracker.current_depth_timestamp = meta["current_depth_timestamp"]
     tracker.current_img_timestamp = meta["current_img_timestamp"]
     tracker.keyframe_switches = meta["keyframe_switches"]
+    _reset_reloc_ring(tracker)
+
+
+def _reset_reloc_ring(tracker) -> None:
+    """Restart the relocalization keyframe ring after a checkpoint restore.
+
+    The ring is a bounded cache, not trajectory state, so it is not
+    serialized; re-seed it from the restored keyframe when its shapes are
+    stackable (unbucketed), else let it refill on the next switches."""
+    if getattr(tracker.config, "relocalize_window", 0) <= 0:
+        return
+    tracker._reloc_history = []
+    if not tracker.config.bucket_candidates:
+        tracker._reloc_history.append(
+            (
+                tracker.keyframe_data,
+                tracker.keyframe_pose,
+                tracker.keyframe_depth_timestamp,
+                tracker.keyframe_img_timestamp,
+            )
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +369,7 @@ def load_slam(path: str, tracker):
     tracker.current_depth_timestamp = meta["current_depth_timestamp"]
     tracker.current_img_timestamp = meta["current_img_timestamp"]
     tracker.keyframe_switches = meta["keyframe_switches"]
+    _reset_reloc_ring(tracker)
     trajectory = [
         Pose(state["traj_q"][i], state["traj_t"][i])
         for i in range(state["traj_q"].shape[0])
