@@ -446,6 +446,8 @@ def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
         for t, p in zip(seq.timestamps[1:], drifted[1:]):
             f.write(tum_rgbd.Frame(timestamp=float(t), pose=p).to_string() + "\n")
 
+    cloud_full = str(tmp_path / "full.ply")
+    cloud_res = str(tmp_path / "res.ply")
     common = ["fr1", assoc_path, traj_path, "--mode", "sliding", "--window", "3",
               "--nb-levels", "3", "--candidate-cap", "1024",
               "--interp", "gather", "--energy-tol", "0.05"]
@@ -454,7 +456,8 @@ def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
     # uninterrupted run, checkpointing every 3 frames (ckpt left at frame 3)
     buf_full = io.StringIO()
     with redirect_stdout(buf_full):
-        rc = vors_refine.main(common + ["--save-state", ckpt, "--save-every", "3"])
+        rc = vors_refine.main(common + ["--save-state", ckpt, "--save-every", "3",
+                                        "--export-cloud", cloud_full])
     assert rc == 0
     import os
 
@@ -480,13 +483,15 @@ def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
             ["fr1", short_assoc, short_traj, "--mode", "sliding", "--window", "3",
              "--nb-levels", "3", "--candidate-cap", "1024",
              "--interp", "gather", "--energy-tol", "0.05",
-             "--save-state", ckpt, "--save-every", "3"]
+             "--save-state", ckpt, "--save-every", "3",
+             "--export-cloud", str(tmp_path / "mid.ply")]
         )
     assert rc == 0
 
     buf_res = io.StringIO()
     with redirect_stdout(buf_res):
-        rc = vors_refine.main(common + ["--resume", ckpt])
+        rc = vors_refine.main(common + ["--resume", ckpt,
+                                        "--export-cloud", cloud_res])
     assert rc == 0
     full = tum_rgbd.parse_trajectory(buf_full.getvalue())
     res = tum_rgbd.parse_trajectory(buf_res.getvalue())
@@ -496,6 +501,16 @@ def test_cli_refine_save_resume_matches_uninterrupted(tmp_path):
                                    atol=1e-7)
         np.testing.assert_allclose(np.asarray(a.pose.q), np.asarray(b.pose.q),
                                    atol=1e-7)
+
+    # the refined 3D map survives the resume: retired clouds ride in the
+    # checkpoint, so the resumed export equals the uninterrupted one
+    from visual_odometry_rs_tpu.utils import pointcloud
+
+    pts_full, int_full = pointcloud.read_ply(cloud_full)
+    pts_res, int_res = pointcloud.read_ply(cloud_res)
+    assert len(pts_full) > 0
+    np.testing.assert_allclose(pts_res, pts_full, atol=1e-5)
+    np.testing.assert_array_equal(int_res, int_full)
 
     # mismatched resume must fail cleanly (different window size)
     rc = vors_refine.main(common[:6] + ["4"] + common[7:] + ["--resume", ckpt])

@@ -90,6 +90,12 @@ def main(argv=None) -> int:
         "on config/window mismatch); already-processed frames are skipped",
     )
     parser.add_argument(
+        "--export-cloud", metavar="PATH",
+        help="sliding mode: write the refined sparse 3D map (each retiring "
+        "keyframe's candidates with their window-REFINED inverse depths, "
+        "back-projected through the refined poses) as an ASCII PLY file",
+    )
+    parser.add_argument(
         "--energy-tol", type=float, default=1.0,
         help="per-pair d_energy stop (intensity^2).  The default matches the "
         "reference tracker's coarse stop: refinement corrects gross error "
@@ -103,6 +109,8 @@ def main(argv=None) -> int:
         # a chunked run accepting --save-state would exit 0 having written
         # no checkpoint — the loss would only surface at resume time
         parser.error("--save-state/--resume require --mode sliding")
+    if args.mode != "sliding" and args.export_cloud:
+        parser.error("--export-cloud requires --mode sliding")
 
     _common.apply_compilation_cache(args)
     if args.cpu:
@@ -168,6 +176,7 @@ def main(argv=None) -> int:
             interp_method=args.interp,
             robust_delta=args.robust_delta,
             brightness=args.brightness_model,
+            collect_clouds=bool(args.export_cloud),
         )
         from ..utils import checkpoint as ckpt_mod
 
@@ -194,8 +203,20 @@ def main(argv=None) -> int:
                 [a.depth_timestamp for a in associations[: sw._next_id]],
                 np.float64,
             )
-            return {"refined_q": q, "refined_t": t, "refined_mask": mask,
-                    "consumed_ts": ts}
+            extra = {"refined_q": q, "refined_t": t, "refined_mask": mask,
+                     "consumed_ts": ts}
+            if args.export_cloud:
+                # retired refined clouds ride along so a resumed export
+                # still contains pre-checkpoint keyframes
+                pts = [p for p, _ in sw.retired_clouds]
+                ints = [i for _, i in sw.retired_clouds]
+                extra["cloud_pts"] = (
+                    np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
+                )
+                extra["cloud_int"] = (
+                    np.concatenate(ints) if ints else np.zeros((0,), np.uint8)
+                )
+            return extra
 
         start_at = 1
         if args.resume:
@@ -235,6 +256,13 @@ def main(argv=None) -> int:
                             jnp.asarray(extra["refined_q"][fid]),
                             jnp.asarray(extra["refined_t"][fid]),
                         )
+            if args.export_cloud and "cloud_pts" in extra:
+                sw.retired_clouds.append(
+                    (
+                        np.asarray(extra["cloud_pts"], np.float32),
+                        np.asarray(extra["cloud_int"], np.uint8),
+                    )
+                )
             # skip consumed frames WITHOUT decoding them
             loader = iter(tum_rgbd.frame_loader(associations[start_at:]))
         else:
@@ -261,6 +289,18 @@ def main(argv=None) -> int:
         for i, assoc in enumerate(associations[1:], start=1):
             pose = refined[i] if refined[i] is not None else c2w[i]
             print(tum_rgbd.Frame(timestamp=assoc.depth_timestamp, pose=pose).to_string())
+        if args.export_cloud:
+            from ..utils import pointcloud
+
+            clouds = list(sw.retired_clouds) + [sw.keyframe_cloud()]
+            pts = np.concatenate([p for p, _ in clouds])
+            inten = np.concatenate([i for _, i in clouds])
+            pointcloud.write_ply(args.export_cloud, pts, inten)
+            print(
+                f"exported {len(pts)} refined map points "
+                f"({sw.keyframe_switches + 1} keyframes) to {args.export_cloud}",
+                file=sys.stderr,
+            )
         return 0
 
     precompute = jax.jit(

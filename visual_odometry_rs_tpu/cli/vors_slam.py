@@ -71,6 +71,12 @@ def main(argv=None) -> int:
         help="write the sparse 3D map (keyframe candidate points back-"
         "projected through the optimized poses) as an ASCII PLY file",
     )
+    parser.add_argument(
+        "--relocalize", type=int, default=0, metavar="K",
+        help="recover lost tracks against the last K keyframes "
+        "(see vors_track --relocalize); 0 = off",
+    )
+    parser.add_argument("--relocalize-energy", type=float, default=150.0)
     args = parser.parse_args(argv)
 
     _common.apply_compilation_cache(args)
@@ -112,6 +118,8 @@ def main(argv=None) -> int:
         idepth_variance=1e-4,
         candidate_cap=args.candidate_cap,
         interp_method=args.interp,
+        relocalize_window=max(0, args.relocalize),
+        relocalize_energy_accept=args.relocalize_energy,
     )
 
     # --- 1. track ---------------------------------------------------------

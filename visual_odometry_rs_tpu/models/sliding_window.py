@@ -115,6 +115,7 @@ class SlidingWindow:
         brightness: bool = False,
         coarse_level: int = 1,
         switch_transfer: bool = True,
+        collect_clouds: bool = False,
     ):
         if window_size < 2:
             raise ValueError("window_size must be >= 2")
@@ -158,6 +159,12 @@ class SlidingWindow:
         self.prior_anchors: Optional[Pose] = None
         self.keyframe_switches = 0
         self._next_id = 0
+        # refined 3D map accumulation (``collect_clouds``): each retiring
+        # keyframe's candidates with their window-REFINED inverse depths,
+        # back-projected through the refined keyframe pose — the structure
+        # output of the photometric BA, vs utils.pointcloud's sensor depths
+        self.collect_clouds = collect_clouds
+        self.retired_clouds: List = []
 
     # -- internals ---------------------------------------------------------
 
@@ -414,6 +421,36 @@ class SlidingWindow:
 
     # -- public API --------------------------------------------------------
 
+    def keyframe_cloud(self):
+        """World-frame (M, 3) points + (M,) u8 intensities of the CURRENT
+        keyframe's candidates using the window-REFINED inverse depths and
+        the refined keyframe pose (``kf_c2w ∘ models[0]⁻¹`` — slot 0 can
+        move in the joint solve).  One jitted dispatch + one fetch."""
+        import numpy as np
+
+        if self.kf_levels is None:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.uint8)
+        if not hasattr(self, "_cloud_fn"):
+            from ..core import camera as camera_mod
+
+            def cloud(obs, idepth, kf_c2w, m0):
+                kf_pose = pose_mod.compose(kf_c2w, pose_mod.inverse(m0))
+                ok = obs.valid & (idepth > 0.0)
+                z = 1.0 / jnp.where(ok, idepth, 1.0)
+                pix = jnp.stack([obs.xs, obs.ys], axis=-1)
+                cam = camera_mod.back_project(obs.intrinsics, pix, z)
+                world = pose_mod.apply(kf_pose, cam)
+                return world, obs.tmpl_vals, ok
+
+            self._cloud_fn = jax.jit(cloud)
+        world, vals, ok = self._cloud_fn(
+            self.kf_levels[0], self.idepth, self.kf_c2w, self.models[0]
+        )
+        mask = np.asarray(ok)
+        pts = np.asarray(world, np.float32)[mask]
+        inten = np.clip(np.asarray(vals)[mask], 0, 255).astype(np.uint8)
+        return pts, inten
+
     def start(self, depth, gray, c2w: Pose | None = None) -> int:
         """Initialize with the first keyframe; returns its frame id."""
         c2w = c2w if c2w is not None else pose_mod.identity()
@@ -493,6 +530,8 @@ class SlidingWindow:
 
         # keyframe switch on tracker flow criterion (newest frame vs keyframe)
         if self._flow(self.models[-1]) >= self.config.flow_threshold:
+            if self.collect_clouds:
+                self.retired_clouds.append(self.keyframe_cloud())
             if self.switch_transfer:
                 self._switch_keyframe_transfer(
                     depth, gray, refined[-1], fid, pyr_new

@@ -83,16 +83,21 @@ def write_ply(path: str, points: np.ndarray, intensities: np.ndarray) -> None:
     intensities = np.asarray(intensities, np.uint8)
     assert points.ndim == 2 and points.shape[1] == 3
     assert intensities.shape == (points.shape[0],)
+    header = (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {len(points)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    # vectorized row formatting: a Python per-point loop costs seconds at
+    # typical map sizes (hundreds of keyframes x thousands of points)
+    cols = np.concatenate(
+        [points, np.repeat(intensities[:, None], 3, axis=1)], axis=1
+    )
     with open(path, "w") as f:
-        f.write(
-            "ply\nformat ascii 1.0\n"
-            f"element vertex {len(points)}\n"
-            "property float x\nproperty float y\nproperty float z\n"
-            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
-            "end_header\n"
-        )
-        for (x, y, z), g in zip(points, intensities):
-            f.write(f"{x:.6f} {y:.6f} {z:.6f} {g} {g} {g}\n")
+        f.write(header)
+        np.savetxt(f, cols, fmt=("%.6f", "%.6f", "%.6f", "%d", "%d", "%d"))
 
 
 def read_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
