@@ -138,3 +138,34 @@ def test_sliding_window_refined_cloud():
     assert np.median(dev) < 1e-2, np.median(dev)
     assert np.quantile(dev, 0.95) < 5e-2, np.quantile(dev, 0.95)
     assert dev.max() < 0.3, dev.max()
+
+
+def test_voxel_downsample():
+    """One centroid per voxel; empty and voxel=0 passthroughs; intensity
+    averaging; order-independence of the cell membership."""
+    pts = np.array(
+        [[0.01, 0.01, 0.01], [0.04, 0.02, 0.03],   # same 0.1-voxel
+         [0.11, 0.0, 0.0],                           # neighbor voxel in x
+         [-0.01, 0.0, 0.0]],                         # negative cell
+        np.float32,
+    )
+    inten = np.array([10, 20, 40, 80], np.uint8)
+    out_p, out_i = pointcloud.voxel_downsample(pts, inten, 0.1)
+    assert out_p.shape == (3, 3)
+    # the merged voxel's centroid and mean intensity
+    merged = np.isclose(out_p, [[0.025, 0.015, 0.02]], atol=1e-6).all(axis=1)
+    assert merged.sum() == 1
+    assert out_i[merged][0] == 15
+    # passthroughs
+    same_p, same_i = pointcloud.voxel_downsample(pts, inten, 0.0)
+    np.testing.assert_array_equal(same_p, pts)
+    empty_p, empty_i = pointcloud.voxel_downsample(
+        np.zeros((0, 3), np.float32), np.zeros((0,), np.uint8), 0.1
+    )
+    assert len(empty_p) == 0 and len(empty_i) == 0
+    # shuffling the input must not change the (sorted) result set
+    perm = np.random.default_rng(0).permutation(len(pts))
+    out_p2, _ = pointcloud.voxel_downsample(pts[perm], inten[perm], 0.1)
+    np.testing.assert_allclose(
+        np.sort(out_p2, axis=0), np.sort(out_p, axis=0), atol=1e-6
+    )

@@ -96,6 +96,11 @@ def main(argv=None) -> int:
         "back-projected through the refined poses) as an ASCII PLY file",
     )
     parser.add_argument(
+        "--cloud-voxel", type=float, default=0.0, metavar="METERS",
+        help="voxel-grid downsample the exported cloud (one centroid point "
+        "per cube); 0 = keep every point",
+    )
+    parser.add_argument(
         "--energy-tol", type=float, default=1.0,
         help="per-pair d_energy stop (intensity^2).  The default matches the "
         "reference tracker's coarse stop: refinement corrects gross error "
@@ -295,6 +300,7 @@ def main(argv=None) -> int:
             clouds = list(sw.retired_clouds) + [sw.keyframe_cloud()]
             pts = np.concatenate([p for p, _ in clouds])
             inten = np.concatenate([i for _, i in clouds])
+            pts, inten = pointcloud.voxel_downsample(pts, inten, args.cloud_voxel)
             pointcloud.write_ply(args.export_cloud, pts, inten)
             print(
                 f"exported {len(pts)} refined map points "

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
         "projected through the optimized poses) as an ASCII PLY file",
     )
     parser.add_argument(
+        "--cloud-voxel", type=float, default=0.0, metavar="METERS",
+        help="voxel-grid downsample the exported cloud (one centroid point "
+        "per cube); 0 = keep every point",
+    )
+    parser.add_argument(
         "--relocalize", type=int, default=0, metavar="K",
         help="recover lost tracks against the last K keyframes "
         "(see vors_track --relocalize); 0 = off",
@@ -258,6 +263,7 @@ def main(argv=None) -> int:
             [kf_images[i][1] for i in keyframe_ids],
             [optimized[i] for i in keyframe_ids],
         )
+        pts, inten = pointcloud.voxel_downsample(pts, inten, args.cloud_voxel)
         pointcloud.write_ply(args.export_cloud, pts, inten)
         print(
             f"exported {len(pts)} map points from {len(keyframe_ids)} "

@@ -77,6 +77,36 @@ def keyframe_clouds(
     return pts, inten
 
 
+def voxel_downsample(
+    points: np.ndarray, intensities: np.ndarray, voxel_size: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep one representative point per ``voxel_size``-meter cube.
+
+    Long trajectories revisit the same structure from many keyframes;
+    without deduplication the exported map grows linearly with keyframes,
+    not with scene size.  The representative is the centroid of each
+    voxel's points (mean intensity, rounded) — standard voxel-grid
+    downsampling, vectorized with a single lexsort + reduceat.
+    """
+    if voxel_size <= 0.0 or len(points) == 0:
+        return points, intensities
+    cells = np.floor(points / voxel_size).astype(np.int64)
+    order = np.lexsort((cells[:, 2], cells[:, 1], cells[:, 0]))
+    cells = cells[order]
+    new_cell = np.ones(len(cells), bool)
+    new_cell[1:] = (cells[1:] != cells[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_cell)
+    counts = np.diff(np.append(starts, len(cells)))[:, None].astype(np.float64)
+    pts_sorted = points[order].astype(np.float64)
+    int_sorted = intensities[order].astype(np.float64)
+    pts_out = np.add.reduceat(pts_sorted, starts, axis=0) / counts
+    int_out = np.add.reduceat(int_sorted, starts) / counts[:, 0]
+    return (
+        pts_out.astype(np.float32),
+        np.clip(np.rint(int_out), 0, 255).astype(np.uint8),
+    )
+
+
 def write_ply(path: str, points: np.ndarray, intensities: np.ndarray) -> None:
     """Serialize a gray-colored point cloud as ASCII PLY."""
     points = np.asarray(points, np.float32)
