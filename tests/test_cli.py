@@ -531,17 +531,23 @@ def test_cli_resume_refusals(tmp_path, capsys):
         nb_frames=4, height=120, width=160, seed=11,
         motion_scale=0.01, rot_scale=0.003,
     )
-    # same camera/shape, different content AND different timestamps
+    # same camera/shape, different content AND different timestamps.
+    # Timestamps are EPOCH-SCALE (~1.3e9 s, like real TUM data) with the
+    # two sequences ~460 s apart: a relative-tolerance comparison
+    # (np.allclose's default rtol=1e-5 = ~13,000 s of slack at this
+    # magnitude) would wrongly accept the mismatch — the guard must
+    # compare absolutely.
     seq_b = synthetic.generate_sequence(
         nb_frames=4, height=120, width=160, seed=12,
         motion_scale=0.01, rot_scale=0.003,
     )
+    seq_a = seq_a._replace(timestamps=seq_a.timestamps + 1.3e9)
+    seq_b = seq_b._replace(timestamps=seq_b.timestamps + 1.3e9 + 460.0)
     dir_a, dir_b = tmp_path / "a", tmp_path / "b"
     dir_a.mkdir(), dir_b.mkdir()
     assoc_a = tum_rgbd.write_sequence(
         str(dir_a), seq_a.grays, seq_a.depths, seq_a.timestamps
     )
-    seq_b = seq_b._replace(timestamps=seq_b.timestamps + 1000.0)
     assoc_b = tum_rgbd.write_sequence(
         str(dir_b), seq_b.grays, seq_b.depths, seq_b.timestamps
     )

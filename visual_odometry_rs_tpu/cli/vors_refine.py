@@ -234,21 +234,16 @@ def main(argv=None) -> int:
                 return 1
             start_at = sw._next_id
             saved_ts = extra.get("consumed_ts")
-            if saved_ts is not None:
-                live_ts = np.array(
-                    [a.depth_timestamp for a in associations[: len(saved_ts)]],
-                    np.float64,
+            if saved_ts is not None and not ckpt_mod.sequence_matches(
+                saved_ts, associations
+            ):
+                print(
+                    "Cannot resume: checkpoint was written for a "
+                    "different input sequence (consumed-frame timestamps "
+                    "do not match the associations file)",
+                    file=sys.stderr,
                 )
-                if len(live_ts) != len(saved_ts) or not np.allclose(
-                    live_ts, saved_ts, atol=1e-6
-                ):
-                    print(
-                        "Cannot resume: checkpoint was written for a "
-                        "different input sequence (consumed-frame timestamps "
-                        "do not match the associations file)",
-                        file=sys.stderr,
-                    )
-                    return 1
+                return 1
             print(
                 f"resumed from {args.resume}: {start_at} frames already "
                 f"processed, {sw.keyframe_switches} keyframe switches",
@@ -261,13 +256,21 @@ def main(argv=None) -> int:
                             jnp.asarray(extra["refined_q"][fid]),
                             jnp.asarray(extra["refined_t"][fid]),
                         )
-            if args.export_cloud and "cloud_pts" in extra:
-                sw.retired_clouds.append(
-                    (
-                        np.asarray(extra["cloud_pts"], np.float32),
-                        np.asarray(extra["cloud_int"], np.uint8),
+            if args.export_cloud:
+                if "cloud_pts" in extra:
+                    sw.retired_clouds.append(
+                        (
+                            np.asarray(extra["cloud_pts"], np.float32),
+                            np.asarray(extra["cloud_int"], np.uint8),
+                        )
                     )
-                )
+                elif sw.keyframe_switches > 0:
+                    print(
+                        "warning: checkpoint was saved without "
+                        "--export-cloud; the exported map will only cover "
+                        "keyframes from this resumed run",
+                        file=sys.stderr,
+                    )
             # skip consumed frames WITHOUT decoding them
             loader = iter(tum_rgbd.frame_loader(associations[start_at:]))
         else:
@@ -303,8 +306,7 @@ def main(argv=None) -> int:
             pts, inten = pointcloud.voxel_downsample(pts, inten, args.cloud_voxel)
             pointcloud.write_ply(args.export_cloud, pts, inten)
             print(
-                f"exported {len(pts)} refined map points "
-                f"({sw.keyframe_switches + 1} keyframes) to {args.export_cloud}",
+                f"exported {len(pts)} refined map points to {args.export_cloud}",
                 file=sys.stderr,
             )
         return 0

@@ -148,13 +148,8 @@ def main(argv=None) -> int:
         # the config fingerprint alone would accept a checkpoint from a
         # different dataset with the same camera — bind to the sequence by
         # checking the tracked timestamps against the associations prefix
-        live_ts = np.array(
-            [a.depth_timestamp for a in associations[: frames_done + 1]],
-            np.float64,
-        )
-        if len(live_ts) != frames_done + 1 or not np.allclose(
-            np.asarray(timestamps[: frames_done + 1], np.float64), live_ts,
-            atol=1e-6,
+        if len(timestamps) != frames_done + 1 or not ckpt_mod.sequence_matches(
+            timestamps, associations
         ):
             print(
                 "Cannot resume: checkpoint was written for a different "

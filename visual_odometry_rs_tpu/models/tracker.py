@@ -781,10 +781,15 @@ class Tracker:
                 lambda ok, old: jnp.where(result.failed, old, ok), proposed, cur_pose
             )
             # final finest-level photometric energy: lost-track detector for
-            # the relocalization path (and a per-frame quality diagnostic)
-            energy, _, _ = _eval_energy(
-                kf.levels[0], pyr[0], result.model, config.interp_method
-            )
+            # the relocalization path.  Gated so the reference-exact
+            # configuration (relocalize_window=0) pays nothing extra on the
+            # latency-dominated per-frame path.
+            if config.relocalize_window > 0:
+                energy, _, _ = _eval_energy(
+                    kf.levels[0], pyr[0], result.model, config.interp_method
+                )
+            else:
+                energy = jnp.asarray(0.0, Float)
             diag = jnp.stack([result.flow, result.failed.astype(Float), energy])
             return new_current, diag, pyr
 
@@ -873,6 +878,11 @@ class Tracker:
 
         from . import relocalize as reloc_mod
 
+        if not self._reloc_history:
+            # the ring can legitimately be empty right after a checkpoint
+            # restore with bucketing on (_reset_reloc_ring); recovery is
+            # unavailable until the next keyframe switch refills it
+            return
         kfs, kf_q, kf_t = reloc_mod.stack_history(self._reloc_history)
         K = len(self._reloc_history)
         if K not in self._reloc_fn_cache:

@@ -136,6 +136,24 @@ def load_tracker(path: str, tracker) -> None:
     _reset_reloc_ring(tracker)
 
 
+def sequence_matches(saved_ts, associations) -> bool:
+    """True iff ``saved_ts`` (consumed-frame depth timestamps stored in a
+    checkpoint) is a prefix of ``associations``' timestamps.
+
+    Binds a resume to its input sequence: the config fingerprint cannot
+    tell two same-camera datasets apart.  Comparison is ABSOLUTE
+    (``rtol=0``): TUM timestamps are ~1.3e9 s epoch seconds, where numpy's
+    default ``rtol=1e-5`` would accept anything within ~13,000 s — i.e.
+    every sequence from the same recording session."""
+    saved = np.asarray(saved_ts, np.float64)
+    if len(associations) < len(saved):
+        return False
+    live = np.array(
+        [a.depth_timestamp for a in associations[: len(saved)]], np.float64
+    )
+    return bool(np.allclose(live, saved, rtol=0.0, atol=1e-6))
+
+
 def _reset_reloc_ring(tracker) -> None:
     """Restart the relocalization keyframe ring after a checkpoint restore.
 

@@ -51,11 +51,6 @@ def keyframe_clouds(
 
     K = len(depths)
     assert K == len(grays) == len(poses)
-    depth_b = jnp.stack([jnp.asarray(d) for d in depths])
-    gray_b = jnp.stack([jnp.asarray(g) for g in grays])
-    pose_b = Pose(
-        jnp.stack([p.q for p in poses]), jnp.stack([p.t for p in poses])
-    )
 
     def one(depth, gray, c2w):
         pyr = pyramid_ops.mean_pyramid(config.nb_levels, gray)
@@ -70,11 +65,29 @@ def keyframe_clouds(
         world = pose_mod.apply(c2w, cam)
         return world, obs.tmpl_vals, ok
 
-    world, vals, ok = jax.jit(jax.vmap(one))(depth_b, gray_b, pose_b)
-    mask = np.asarray(ok).reshape(-1)
-    pts = np.asarray(world, np.float32).reshape(-1, 3)[mask]
-    inten = np.clip(np.asarray(vals).reshape(-1)[mask], 0, 255).astype(np.uint8)
-    return pts, inten
+    batched = jax.jit(jax.vmap(one))
+
+    # chunk the keyframe axis: one vmapped dispatch per CHUNK keyframes
+    # bounds device memory (the vmapped pyramid + candidate precompute
+    # materializes every lane's intermediates; hundreds of keyframes at
+    # full resolution would be GBs in one dispatch)
+    CHUNK = 16
+    pts_parts, int_parts = [], []
+    for s in range(0, K, CHUNK):
+        e = min(s + CHUNK, K)
+        depth_b = jnp.stack([jnp.asarray(d) for d in depths[s:e]])
+        gray_b = jnp.stack([jnp.asarray(g) for g in grays[s:e]])
+        pose_b = Pose(
+            jnp.stack([p.q for p in poses[s:e]]),
+            jnp.stack([p.t for p in poses[s:e]]),
+        )
+        world, vals, ok = batched(depth_b, gray_b, pose_b)
+        mask = np.asarray(ok).reshape(-1)
+        pts_parts.append(np.asarray(world, np.float32).reshape(-1, 3)[mask])
+        int_parts.append(
+            np.clip(np.asarray(vals).reshape(-1)[mask], 0, 255).astype(np.uint8)
+        )
+    return np.concatenate(pts_parts), np.concatenate(int_parts)
 
 
 def voxel_downsample(
