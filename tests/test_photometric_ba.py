@@ -305,3 +305,69 @@ def test_window_sharded_pose_prior_matches_single(window_setup):
     np.testing.assert_allclose(np.asarray(sh.poses.t), np.asarray(ref.poses.t), atol=5e-5)
     np.testing.assert_allclose(np.asarray(sh.poses.q), np.asarray(ref.poses.q), atol=5e-5)
     np.testing.assert_allclose(float(sh.energy), float(ref.energy), rtol=1e-4)
+
+
+def test_window_batched_matches_per_window():
+    """solve_window_batched (DP over independent windows, the refinement
+    analog of parallel.batch): vmapped results equal per-window solves lane
+    for lane, both unsharded and with the batch axis sharded over the
+    8-device mesh; per-window prior options are rejected."""
+    from visual_odometry_rs_tpu.parallel import mesh as mesh_mod
+
+    h, w, F, B = 96, 128, 3, 8
+    wins = []
+    for b in range(B):
+        seq = synthetic.generate_sequence(
+            nb_frames=F, height=h, width=w, seed=100 + b,
+            motion_scale=0.008 + 0.002 * b, rot_scale=0.003,
+        )
+        config = tracker_mod.TrackerConfig(
+            height=h, width=w, nb_levels=3, candidate_cap=512,
+            interp_method="gather",
+        )
+        pyr0 = pyramid_ops.mean_pyramid(config.nb_levels, jnp.asarray(seq.grays[0]))
+        kf = tracker_mod.precompute_keyframe(
+            config, seq.intrinsics, jnp.asarray(seq.depths[0]), pyr0
+        )
+        images = jnp.asarray(np.stack(seq.grays)).astype(jnp.float32)
+        gt_rel = [
+            pose_mod.compose(pose_mod.inverse(p), seq.poses[0]) for p in seq.poses
+        ]
+        gt_poses = Pose(
+            jnp.stack([p.q for p in gt_rel]), jnp.stack([p.t for p in gt_rel])
+        )
+        init = _perturbed(gt_poses, 0.004, seed=b)
+        wins.append(
+            photometric_ba.window_from_tracking(
+                config, seq.intrinsics, kf.levels, images, init
+            )
+        )
+
+    opts = dict(max_iterations=8, interp_method="gather")
+    singles = [photometric_ba.solve_window(w, **opts) for w in wins]
+    stacked = photometric_ba.stack_windows(wins)
+    batched = photometric_ba.solve_window_batched(stacked, **opts)
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    batched_mesh = photometric_ba.solve_window_batched(stacked, mesh, **opts)
+
+    # under vmap XLA lowers the reductions/contractions differently
+    # (docs/PERF.md: batched lowering changes), so lanes agree to f32
+    # lowering noise accumulated over the LM iterations, not bit-exactly
+    for res in (batched, batched_mesh):
+        for b, single in enumerate(singles):
+            np.testing.assert_allclose(
+                np.asarray(res.poses.t[b]), np.asarray(single.poses.t),
+                atol=3e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.idepth[b]), np.asarray(single.idepth),
+                rtol=5e-3, atol=1e-3,
+            )
+            np.testing.assert_allclose(
+                float(res.energy[b]), float(single.energy), rtol=2e-2
+            )
+
+    with pytest.raises(ValueError):
+        photometric_ba.solve_window_batched(
+            stacked, pose_prior=(jnp.zeros((F, 6, F, 6)), None), **opts
+        )

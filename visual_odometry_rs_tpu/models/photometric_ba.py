@@ -639,6 +639,45 @@ def solve_window_sharded(
     return fn(win, prior, init)
 
 
+def stack_windows(wins) -> Window:
+    """Stack same-shape ``Window`` problems along a new leading batch axis
+    (input to ``solve_window_batched``)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *wins)
+
+
+def solve_window_batched(
+    wins: Window, mesh=None, axis: str = "data", **opts
+) -> WindowResult:
+    """Data-parallel windowed BA: ``vmap`` of ``solve_window`` over a
+    leading batch of INDEPENDENT windows (different sequences) — the
+    refinement analog of ``parallel.batch``'s multi-sequence tracking.
+
+    ``wins``: a ``Window`` whose every leaf carries a leading batch axis
+    (see ``stack_windows``).  With ``mesh``, the batch axis is sharded over
+    ``mesh[axis]`` (communication-free DP: each device solves its lanes).
+    Per-lane accept/reject state is independent, so no lane's LM schedule
+    affects another's numbers; lanes agree with per-window ``solve_window``
+    calls up to f32 LOWERING noise (vmap changes how XLA lowers the
+    reductions — same effect as docs/PERF.md's batched-interp lowering
+    note), ~1e-5 in pose after a handful of iterations.
+
+    Per-window ``pose_prior``/``idepth_init`` are not supported here (as
+    keyword options they would be shared across lanes); call
+    ``solve_window`` per window when priors differ.
+    """
+    if opts.get("pose_prior") is not None or opts.get("idepth_init") is not None:
+        raise ValueError(
+            "per-window pose_prior/idepth_init are not supported in the "
+            "batched driver; call solve_window per window instead"
+        )
+    fn = jax.jit(jax.vmap(lambda w: solve_window(w, **opts)))
+    if mesh is not None:
+        from ..parallel import mesh as mesh_mod
+
+        wins = mesh_mod.shard_batch(wins, mesh, axis)
+    return fn(wins)
+
+
 def window_from_tracking(
     config,
     intrinsics: Intrinsics,
