@@ -205,3 +205,58 @@ def test_slam_checkpoint_roundtrip(tmp_path):
     import pytest as _pytest
     with _pytest.raises(checkpoint.CheckpointMismatchError):
         checkpoint.load_slam(path, trk3)
+
+
+def test_cli_track_resume_overlap_warning(tmp_path, capsys):
+    """vors_track --resume continues into the SUPPLIED file (stateless
+    stream model); resuming with a file that overlaps the checkpoint's
+    already-tracked frames must warn about double-tracking, and resuming
+    with only the remaining frames must not."""
+    from visual_odometry_rs_tpu.cli import vors_track
+    from visual_odometry_rs_tpu.dataset import synthetic, tum_rgbd
+
+    seq = synthetic.generate_sequence(nb_frames=4, height=48, width=64, seed=2)
+    assoc = tum_rgbd.write_sequence(
+        str(tmp_path), seq.grays, seq.depths, seq.timestamps
+    )
+    ckpt = str(tmp_path / "t.npz")
+    args = ["fr1", assoc, "--nb-levels", "3", "--candidate-cap", "256"]
+    rc = vors_track.main(args + ["--save-state", ckpt])
+    assert rc == 0
+    capsys.readouterr()
+
+    # same full file again: every frame predates the checkpoint -> warn
+    rc = vors_track.main(args + ["--resume", ckpt])
+    assert rc == 0
+    assert "double-tracked" in capsys.readouterr().err
+
+    # continuation file (header + init frame + nothing consumed): the
+    # loader needs >= 2 lines, so append a genuinely new frame
+    with open(assoc) as f:
+        lines = [l for l in f.read().splitlines() if l.strip() and not l.startswith("#")]
+    cont = str(tmp_path / "cont.txt")
+    extra_dir = tmp_path / "extra"
+    seq2 = synthetic.generate_sequence(nb_frames=2, height=48, width=64, seed=2)
+    extra_assoc = tum_rgbd.write_sequence(
+        str(extra_dir), seq2.grays, seq2.depths,
+        seq2.timestamps + float(seq.timestamps[-1]) + 1.0,
+    )
+    with open(extra_assoc) as f:
+        extra_lines = [
+            l for l in f.read().splitlines() if l.strip() and not l.startswith("#")
+        ]
+    import os
+    with open(cont, "w") as f:
+        # keep the last already-tracked frame as the (untracked) init line,
+        # then the new future frame
+        f.write(lines[-1] + "\n")
+        prefix = os.path.relpath(str(extra_dir), str(tmp_path))
+        for l in extra_lines[-1:]:
+            ts1, p1, ts2, p2 = l.split()
+            f.write(f"{ts1} {prefix}/{p1} {ts2} {prefix}/{p2}\n")
+    rc = vors_track.main(
+        ["fr1", cont, "--nb-levels", "3", "--candidate-cap", "256",
+         "--resume", ckpt]
+    )
+    assert rc == 0
+    assert "double-tracked" not in capsys.readouterr().err

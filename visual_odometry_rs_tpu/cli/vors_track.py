@@ -169,6 +169,26 @@ def main(argv=None) -> int:
         except (OSError, KeyError, ValueError) as e:
             print(f"Cannot read checkpoint {args.resume}: {e}", file=sys.stderr)
             return 1
+        # resume semantics here are "continue into the SUPPLIED file": every
+        # association after the first is tracked.  Warn when the file starts
+        # at or before the checkpoint's last tracked frame — the caller
+        # probably passed the original full file and would double-track it
+        # (vors_refine/vors_slam skip consumed frames instead; this CLI
+        # keeps the reference's stateless stream model).
+        if (
+            len(associations) > 1
+            and associations[1].depth_timestamp
+            <= trk.current_depth_timestamp + 1e-9
+        ):
+            print(
+                "warning: the first frame to track "
+                f"({associations[1].depth_timestamp:.6f}) is not after the "
+                "checkpoint's last tracked frame "
+                f"({trk.current_depth_timestamp:.6f}) — frames will be "
+                "double-tracked; pass only the REMAINING associations when "
+                "resuming",
+                file=sys.stderr,
+            )
 
     session = metrics_mod.SessionMetrics()
     # Native prefetch loader: PNG decode of upcoming frames overlaps the
