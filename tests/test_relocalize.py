@@ -171,3 +171,42 @@ def test_tracker_relocalize_noop_on_healthy_sequence():
     for a, b in zip(poses_on, poses_off):
         np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), atol=1e-7)
         np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q), atol=1e-7)
+
+
+def test_attempt_with_robust_and_brightness_configs():
+    """The vmapped relocalization solve must compose with the tracker's
+    opt-in extensions (Huber robust weighting, affine brightness) — the
+    same cross-product the batched drivers pin (round-2 verdict item 7)."""
+    far = [0.35, 0.05, 0.02, 0.0, 0.25, 0.0]
+    back = [-0.35 + 0.02, -0.05, -0.02 + 0.01, 0.002, -0.25, 0.003]
+    twists = np.asarray([far, back], np.float32)
+    seq = synthetic.generate_sequence(
+        nb_frames=3, height=120, width=160, seed=21, twist_per_frame=twists,
+    )
+    for opts in (dict(robust_delta=20.0), dict(brightness_model=True),
+                 dict(robust_delta=20.0, brightness_model=True)):
+        config = _config(**opts)
+
+        def kf(i):
+            pyr = pyramid_ops.mean_pyramid(
+                config.nb_levels, jnp.asarray(seq.grays[i])
+            )
+            return tracker_mod.precompute_keyframe(
+                config, seq.intrinsics, jnp.asarray(seq.depths[i]), pyr
+            )
+
+        history = [(kf(0), seq.poses[0], 0.0, 0.0), (kf(1), seq.poses[1], 1.0, 1.0)]
+        kfs, kf_q, kf_t = relocalize.stack_history(history)
+        query_pyr = pyramid_ops.mean_pyramid(
+            config.nb_levels, jnp.asarray(seq.grays[2])
+        )
+        res = relocalize.attempt(
+            config, kfs, kf_q, kf_t, query_pyr,
+            energy_accept=150.0, min_inside_frac=0.5,
+        )
+        assert bool(res.ok), (opts, float(res.energy))
+        assert int(res.best) == 0, opts
+        np.testing.assert_allclose(
+            np.asarray(res.pose.t), np.asarray(seq.poses[2].t), atol=8e-3,
+            err_msg=str(opts),
+        )
