@@ -607,3 +607,49 @@ def test_cli_resume_refusals(tmp_path, capsys):
     rc = vors_slam.main(["fr1", assoc_a, *slam_opts, "--resume", str(bad)])
     assert rc == 1
     assert "Cannot resume" in capsys.readouterr().err
+
+
+def test_cli_batch_relocalize(tmp_path, capsys):
+    """vors_batch --relocalize: a kidnapped sequence in the batch recovers
+    in-graph (stderr notes the relocalization; the post-kidnap trajectory
+    returns near ground truth)."""
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    step = [0.09, 0.01, 0.005, 0.0, 0.06, 0.0]
+    total = -4.0 * np.asarray(step)
+    small = [0.01, 0.002, 0.001, 0.0, 0.005, 0.0]
+    twists = np.asarray([step] * 4 + [list(total)] + [small, small], np.float32)
+    seq_kid = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=23,
+        twist_per_frame=twists,
+    )
+    seq_ok = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=24,
+        motion_scale=0.012, rot_scale=0.004,
+    )
+    dir_kid, dir_ok = tmp_path / "kid", tmp_path / "ok"
+    dir_kid.mkdir(), dir_ok.mkdir()
+    a_kid = tum_rgbd.write_sequence(
+        str(dir_kid), seq_kid.grays, seq_kid.depths, seq_kid.timestamps
+    )
+    a_ok = tum_rgbd.write_sequence(
+        str(dir_ok), seq_ok.grays, seq_ok.depths, seq_ok.timestamps
+    )
+    outdir = str(tmp_path / "out")
+    rc = vors_batch.main(
+        ["fr1", a_kid, a_ok, "--out-dir", outdir, "--nb-levels", "3",
+         "--candidate-cap", "1024", "--interp", "gather", "--chunk", "3",
+         "--relocalize", "4"]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Relocalized against keyframe ring" in err
+    import os
+
+    with open(os.path.join(outdir, "kid.txt")) as f:
+        frames = tum_rgbd.parse_trajectory(f.read())
+    assert len(frames) == len(twists)
+    err_tail = float(np.linalg.norm(
+        np.asarray(frames[-1].pose.t) - np.asarray(seq_kid.poses[-1].t)
+    ))
+    assert err_tail < 0.02, err_tail

@@ -564,3 +564,121 @@ def test_batched_sequence_option_crossproduct(opts):
                     np.asarray(final.current_pose.t[lane]),
                     np.asarray(f1.current_pose.t), atol=2e-2,
                 )
+
+
+def test_batched_relocalization_recovers_kidnapped_lane():
+    """In-graph relocalization in the fused batched scan (RelocRing): a
+    kidnapped lane recovers against its keyframe ring while a healthy lane
+    in the same batch is untouched (matches its ring-free solo run)."""
+    step = [0.09, 0.01, 0.005, 0.0, 0.06, 0.0]
+    total = -4.0 * np.asarray(step)
+    small = [0.01, 0.002, 0.001, 0.0, 0.005, 0.0]
+    twists = np.asarray([step] * 4 + [list(total)] + [small, small], np.float32)
+    seq_kid = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=23,
+        twist_per_frame=twists,
+    )
+    seq_ok = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=24,
+        motion_scale=0.012, rot_scale=0.004,
+    )
+    config = tracker_mod.TrackerConfig(
+        height=120, width=160, nb_levels=3, candidate_cap=1024,
+        interp_method="gather", depth_scale=5000.0,
+        relocalize_window=4, relocalize_energy_accept=150.0,
+    )
+    F = len(twists)
+    d0 = jnp.stack([jnp.asarray(seq_kid.depths[0]), jnp.asarray(seq_ok.depths[0])])
+    g0 = jnp.stack([jnp.asarray(seq_kid.grays[0]), jnp.asarray(seq_ok.grays[0])])
+    clip_d = jnp.stack([
+        jnp.stack([jnp.asarray(seq_kid.depths[i]), jnp.asarray(seq_ok.depths[i])])
+        for i in range(1, F + 1)
+    ])
+    clip_g = jnp.stack([
+        jnp.stack([jnp.asarray(seq_kid.grays[i]), jnp.asarray(seq_ok.grays[i])])
+        for i in range(1, F + 1)
+    ])
+    state = batch_mod.batched_init_state(config, seq_kid.intrinsics, d0, g0)
+    ring = batch_mod.batched_init_ring(config, state)
+    final, (poses, diags), ring_out = batch_mod.batched_track_sequence(
+        config, seq_kid.intrinsics, state, clip_d, clip_g, reloc_ring=ring
+    )
+    reloc = np.asarray(diags.relocalized)  # (F, B)
+    assert reloc[:, 0].any(), "kidnapped lane must relocalize"
+    assert not reloc[:, 1].any(), "healthy lane must not relocalize"
+
+    # kidnapped lane's tail returns to ground truth
+    for f in (F - 2, F - 1):
+        err = float(np.linalg.norm(
+            np.asarray(poses.t[f, 0]) - np.asarray(seq_kid.poses[f + 1].t)
+        ))
+        assert err < 0.02, (f, err)
+
+    # the healthy lane matches its own ring-free run to lowering noise
+    cfg0 = tracker_mod.TrackerConfig(
+        height=120, width=160, nb_levels=3, candidate_cap=1024,
+        interp_method="gather", depth_scale=5000.0,
+    )
+    d0s = jnp.stack([jnp.asarray(seq_ok.depths[0])] * 2)
+    g0s = jnp.stack([jnp.asarray(seq_ok.grays[0])] * 2)
+    clip_ds = jnp.stack([
+        jnp.stack([jnp.asarray(seq_ok.depths[i])] * 2) for i in range(1, F + 1)
+    ])
+    clip_gs = jnp.stack([
+        jnp.stack([jnp.asarray(seq_ok.grays[i])] * 2) for i in range(1, F + 1)
+    ])
+    state0 = batch_mod.batched_init_state(cfg0, seq_ok.intrinsics, d0s, g0s)
+    _, (poses0, _) = batch_mod.batched_track_sequence(
+        cfg0, seq_ok.intrinsics, state0, clip_ds, clip_gs
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses.t[:, 1]), np.asarray(poses0.t[:, 0]), atol=1e-5
+    )
+
+
+def test_batched_relocalization_noop_on_healthy_batch():
+    """With the ring threaded but no lane ever lost, trajectories equal the
+    ring-free run (the lost-detector eval and the two added conds must not
+    perturb the pose dataflow)."""
+    B, F = 3, 5
+    seqs = [
+        synthetic.generate_sequence(
+            nb_frames=F + 1, height=96, width=128, seed=40 + b,
+            motion_scale=0.01, rot_scale=0.003,
+        )
+        for b in range(B)
+    ]
+    intr = seqs[0].intrinsics
+    kw = dict(height=96, width=128, nb_levels=3, candidate_cap=512,
+              interp_method="gather", depth_scale=5000.0)
+    cfg_on = tracker_mod.TrackerConfig(relocalize_window=3, **kw)
+    cfg_off = tracker_mod.TrackerConfig(**kw)
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs])
+    clip_d = jnp.stack([
+        jnp.stack([jnp.asarray(s.depths[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    clip_g = jnp.stack([
+        jnp.stack([jnp.asarray(s.grays[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    state_on = batch_mod.batched_init_state(cfg_on, intr, d0, g0)
+    ring = batch_mod.batched_init_ring(cfg_on, state_on)
+    _, (poses_on, diags_on), _ = batch_mod.batched_track_sequence(
+        cfg_on, intr, state_on, clip_d, clip_g, reloc_ring=ring
+    )
+    state_off = batch_mod.batched_init_state(cfg_off, intr, d0, g0)
+    _, (poses_off, diags_off) = batch_mod.batched_track_sequence(
+        cfg_off, intr, state_off, clip_d, clip_g
+    )
+    assert not np.asarray(diags_on.relocalized).any()
+    np.testing.assert_array_equal(
+        np.asarray(diags_on.switched), np.asarray(diags_off.switched)
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_on.t), np.asarray(poses_off.t), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_on.q), np.asarray(poses_off.q), atol=1e-7
+    )

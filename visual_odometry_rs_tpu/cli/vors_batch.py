@@ -75,6 +75,15 @@ def main(argv=None) -> int:
         "(0 = reference-exact L2)",
     )
     parser.add_argument(
+        "--relocalize", type=int, default=0, metavar="K",
+        help="in-graph lost-track recovery: each lane keeps its last K "
+        "keyframes device-resident and, when its track fails or its "
+        "photometric energy exceeds --relocalize-energy, re-solves against "
+        "all of them and re-anchors to the best verified match (see "
+        "parallel/batch.py RelocRing); 0 = off (reference-exact)",
+    )
+    parser.add_argument("--relocalize-energy", type=float, default=150.0)
+    parser.add_argument(
         "--brightness-model", action="store_true",
         help="estimate per-frame affine brightness (gain/bias) jointly with "
         "the pose — for auto-exposure cameras",
@@ -137,6 +146,8 @@ def main(argv=None) -> int:
         interp_method=args.interp,
         robust_delta=args.robust_delta,
         brightness_model=args.brightness_model,
+        relocalize_window=max(0, args.relocalize),
+        relocalize_energy_accept=args.relocalize_energy,
     )
 
     # batch axis over the data mesh when it divides the device count
@@ -158,14 +169,20 @@ def main(argv=None) -> int:
     # traced args, so cadence check-frame phase follows the GLOBAL frame index
     # and pending switch flags survive chunk boundaries (round-2 advisor
     # finding), without retracing per chunk.
+    reloc_on = config.relocalize_window > 0
+
     @jax.jit
-    def run_clip(s, dd, gg, pending, offset):
-        return batch_mod.batched_track_sequence(
+    def run_clip(s, dd, gg, pending, offset, rng):
+        outs = batch_mod.batched_track_sequence(
             config, intrinsics, s, dd, gg,
             switch_cadence=args.switch_cadence,
             switch_subbatch=args.switch_subbatch,
             pending0=pending, frame_offset=offset, return_pending=True,
+            reloc_ring=rng if reloc_on else None,
         )
+        if reloc_on:
+            return outs
+        return outs + (rng,)
 
     os.makedirs(args.out_dir, exist_ok=True)
     # uniquify output names: two inputs mapping to the same name (same parent
@@ -191,6 +208,10 @@ def main(argv=None) -> int:
 
     frame_idx = 0
     pending = jnp.zeros((B,), bool)
+    ring = (
+        jax.jit(lambda s: batch_mod.batched_init_ring(config, s))(state)
+        if reloc_on else jnp.int32(0)
+    )
     while frame_idx < max_len:
         n = min(args.chunk, max_len - frame_idx)
         clip_d = np.empty((n, B, h, w), np.uint16)
@@ -208,12 +229,13 @@ def main(argv=None) -> int:
             sh = NamedSharding(mesh, P(None, "data"))
             dd = jax.device_put(dd, sh)
             gg = jax.device_put(gg, sh)
-        state, (poses, diags), pending = run_clip(
-            state, dd, gg, pending, jnp.int32(frame_idx)
+        state, (poses, diags), pending, ring = run_clip(
+            state, dd, gg, pending, jnp.int32(frame_idx), ring
         )
         q = np.asarray(poses.q)
         t = np.asarray(poses.t)
         flows = np.asarray(diags.flow)
+        relocs = np.asarray(diags.relocalized)
         for f in range(n):
             for b in range(B):
                 fi = frame_idx + f
@@ -221,6 +243,9 @@ def main(argv=None) -> int:
                     continue
                 a = all_assocs[b][fi + 1]
                 print(f"[{b}] Optical_flow: {flows[f, b]}", file=sys.stderr)
+                if relocs[f, b]:
+                    print(f"[{b}] Relocalized against keyframe ring",
+                          file=sys.stderr)
                 line = tum_rgbd.Frame(
                     timestamp=a.depth_timestamp, pose=Pose(q=q[f, b], t=t[f, b])
                 ).to_string()

@@ -47,6 +47,25 @@ class StepDiagnostics(NamedTuple):
     flow: jnp.ndarray
     failed: jnp.ndarray
     switched: jnp.ndarray
+    # lanes recovered by in-graph relocalization this frame (always present;
+    # all-False unless a RelocRing is threaded through the scan)
+    relocalized: jnp.ndarray
+
+
+class RelocRing(NamedTuple):
+    """Per-lane ring of the last R keyframes for in-graph relocalization.
+
+    The batched analog of the host ``Tracker``'s ``_reloc_history``
+    (models/relocalize.py): leaves carry ``(B, R, ...)``; ``count`` is the
+    number of filled slots and ``head`` the next write position.  Slots are
+    written with one-hot selects (no dynamic indexing — the measured poison
+    on this TPU, docs/PERF.md)."""
+
+    kf: KeyframeData  # leaves (B, R, ...)
+    pose_q: jnp.ndarray  # (B, R, 4) keyframe camera-to-world quaternions
+    pose_t: jnp.ndarray  # (B, R, 3)
+    count: jnp.ndarray  # (B,) int32 filled slots
+    head: jnp.ndarray  # (B,) int32 next slot to write
 
 
 def init_state(
@@ -94,7 +113,10 @@ def track_step(
         lambda new, old: jnp.where(switch, new, old), new_current, state.keyframe_pose
     )
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
-    return new_state, StepDiagnostics(flow=result.flow, failed=result.failed, switched=switch)
+    return new_state, StepDiagnostics(
+        flow=result.flow, failed=result.failed, switched=switch,
+        relocalized=jnp.zeros_like(switch),
+    )
 
 
 def _resolve_batched_interp(config: TrackerConfig) -> TrackerConfig:
@@ -118,6 +140,54 @@ def batched_init_state(
 ) -> TrackState:
     """Initialize a batch of sequences: depths/imgs are (B, H, W)."""
     return jax.vmap(lambda d, i: init_state(config, intrinsics, d, i))(depths, imgs)
+
+
+def batched_init_ring(config: TrackerConfig, state: TrackState) -> RelocRing:
+    """Seed a ``RelocRing`` from a freshly initialized batched state.
+
+    Slot 0 of every lane holds the initial keyframe (like the host
+    tracker's ring); the other ``R-1`` slots are copies masked out by
+    ``count`` until real switches fill them.
+    """
+    R = config.relocalize_window
+    assert R > 0, "config.relocalize_window must be > 0 to build a ring"
+    B = state.keyframe_pose.q.shape[0]
+    kf_ring = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(
+            x[:, None], (x.shape[0], R) + x.shape[1:]
+        ),
+        state.kf,
+    )
+    return RelocRing(
+        kf=kf_ring,
+        pose_q=jnp.broadcast_to(state.keyframe_pose.q[:, None], (B, R, 4)),
+        pose_t=jnp.broadcast_to(state.keyframe_pose.t[:, None], (B, R, 3)),
+        count=jnp.ones((B,), jnp.int32),
+        head=jnp.ones((B,), jnp.int32) % R,
+    )
+
+
+def _ring_write(ring: RelocRing, switched, new_kf, new_pose: Pose) -> RelocRing:
+    """Append ``new_kf``/``new_pose`` for the switched lanes at each lane's
+    head slot (one-hot select over R; non-switched lanes untouched)."""
+    R = ring.pose_q.shape[1]
+    slot_oh = jax.lax.iota(jnp.int32, R)[None, :] == ring.head[:, None]  # (B, R)
+    write = jnp.logical_and(switched[:, None], slot_oh)  # (B, R)
+
+    def bcast2(flag, like):
+        return flag.reshape(flag.shape + (1,) * (like.ndim - flag.ndim))
+
+    kf = jax.tree_util.tree_map(
+        lambda rr, nn: jnp.where(bcast2(write, rr), nn[:, None], rr),
+        ring.kf, new_kf,
+    )
+    pose_q = jnp.where(write[..., None], new_pose.q[:, None], ring.pose_q)
+    pose_t = jnp.where(write[..., None], new_pose.t[:, None], ring.pose_t)
+    head = jnp.where(switched, (ring.head + 1) % R, ring.head)
+    count = jnp.where(
+        switched, jnp.minimum(ring.count + 1, R), ring.count
+    ).astype(jnp.int32)
+    return RelocRing(kf=kf, pose_q=pose_q, pose_t=pose_t, count=count, head=head)
 
 
 def batched_track_step(
@@ -172,6 +242,97 @@ def _onehot_rows(sel: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def _recover_lost(
+    config: TrackerConfig,
+    lost: jnp.ndarray,  # (B,)
+    pyrs,  # list of (B, h, w) pyramid levels of the current frame
+    ring: RelocRing,
+    new_current: Pose,  # (B,) lanes
+    kf,  # batched KeyframeData after the switch select
+    keyframe_pose: Pose,
+):
+    """In-graph relocalization for the batched scan (models/relocalize.py's
+    vmapped attempt, fused into the serving loop).
+
+    Behind a scan-level ``lax.cond`` on "is ANY lane lost?", so healthy
+    frames pay nothing beyond the predicate; when taken, every lane solves
+    against all R ring keyframes from identity inits (one (B, R) vmap) and
+    lost lanes that verify adopt the recovered pose and re-activate the
+    matched ring keyframe.  Unfilled ring slots are masked via ``count``.
+    """
+    R = ring.pose_q.shape[1]
+
+    def keep(cur, kf_in, kfp):
+        return cur, kf_in, kfp, jnp.zeros_like(lost)
+
+    def recover(cur, kf_in, kfp):
+        def per_lane(ring_kf_b, ring_q_b, ring_t_b, count_b, cur_b, *pyr_b):
+            pyr_list = list(pyr_b)
+
+            def per_slot(kf_r):
+                res = tracker_mod.track_frame(
+                    config, kf_r, pyr_list, pose_mod.identity()
+                )
+                obs = kf_r.levels[0]
+                energy, _, inside = tracker_mod._eval_energy(
+                    obs, pyr_list[0], res.model, config.interp_method
+                )
+                frac = jnp.sum(inside).astype(Float) / jnp.maximum(
+                    jnp.sum(obs.valid).astype(Float), 1.0
+                )
+                return res.model, res.failed, energy, frac
+
+            models, failed, energies, fracs = jax.vmap(per_slot)(ring_kf_b)
+            empty = jax.lax.iota(jnp.int32, R) >= count_b
+            bad = (
+                failed
+                | ~jnp.isfinite(energies)
+                | (fracs < config.relocalize_min_inside_frac)
+                | empty
+            )
+            score = jnp.where(bad, jnp.asarray(jnp.inf, Float), energies)
+            best = jnp.argmin(score)
+            ok = score[best] <= config.relocalize_energy_accept
+            oh = jax.lax.iota(jnp.int32, R) == best  # (R,)
+
+            def pick(x):
+                flag = oh.reshape((R,) + (1,) * (x.ndim - 1))
+                return jnp.where(flag, x, 0).sum(axis=0).astype(x.dtype)
+
+            model_b = Pose(pick(models.q), pick(models.t))
+            ring_pose_b = Pose(pick(ring_q_b), pick(ring_t_b))
+            kf_b = jax.tree_util.tree_map(pick, ring_kf_b)
+            recovered = pose_mod.compose(ring_pose_b, pose_mod.inverse(model_b))
+            return recovered, kf_b, ring_pose_b, ok
+
+        recovered, kf_best, kfp_best, ok = jax.vmap(per_lane)(
+            ring.kf, ring.pose_q, ring.pose_t, ring.count,
+            cur, *pyrs,
+        )
+        adopt = jnp.logical_and(lost, ok)
+
+        def bcast(flag, like):
+            return flag.reshape(flag.shape + (1,) * (like.ndim - flag.ndim))
+
+        cur2 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(adopt, new), new, old),
+            recovered, cur,
+        )
+        kf2 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(adopt, new), new, old),
+            kf_best, kf_in,
+        )
+        kfp2 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(bcast(adopt, new), new, old),
+            kfp_best, kfp,
+        )
+        return cur2, kf2, kfp2, adopt
+
+    return jax.lax.cond(
+        jnp.any(lost), recover, keep, new_current, kf, keyframe_pose
+    )
+
+
 def _lazy_switch_step(
     config: TrackerConfig,
     intrinsics: Intrinsics,
@@ -182,6 +343,7 @@ def _lazy_switch_step(
     pending=None,
     do_check=None,
     switch_subbatch: int = 0,
+    ring: RelocRing | None = None,
 ):
     """One scan-body step with the keyframe precompute behind a real branch.
 
@@ -227,7 +389,35 @@ def _lazy_switch_step(
         state.current_pose,
     )
 
+    reloc_on = ring is not None and config.relocalize_window > 0
+    if reloc_on:
+        assert batched, "in-graph relocalization requires the batched driver"
+        # lost-track detector: final finest-level photometric energy against
+        # the CURRENT (pre-switch) keyframe — same criterion as the host
+        # Tracker's recovery path (models/tracker.py Tracker.track)
+        def lane_energy(kf, pyr0, model):
+            obs = kf.levels[0]
+            energy, _, _ = tracker_mod._eval_energy(
+                obs, pyr0, model, config.interp_method
+            )
+            return energy
+
+        energies = jax.vmap(lane_energy)(state.kf, pyrs[0], result.model)
+        lost = jnp.logical_or(
+            result.failed,
+            jnp.logical_or(
+                ~jnp.isfinite(energies),
+                energies > config.relocalize_energy_accept,
+            ),
+        )
+    else:
+        lost = jnp.zeros_like(result.failed)
+
     switch_now = result.flow >= config.flow_threshold
+    if reloc_on:
+        # a lost frame never becomes the map anchor (and does not pend):
+        # mirrors the host Tracker's early return before the flow switch
+        switch_now = jnp.logical_and(switch_now, ~lost)
     if pending is None:
         pending_all = switch_now
         check = jnp.any(switch_now)
@@ -235,7 +425,12 @@ def _lazy_switch_step(
         pending_all = jnp.logical_or(pending, switch_now)
         check = jnp.logical_and(do_check, jnp.any(pending_all))
 
-    def recompute(kf_old, kf_pose_old):
+    def _maybe_ring_write(ring_in, switched_mask, kf_new):
+        if not reloc_on:
+            return ring_in
+        return _ring_write(ring_in, switched_mask, kf_new, new_current)
+
+    def recompute(kf_old, kf_pose_old, ring_in):
         # All lanes recompute, per-lane select.  The "per-lane cond via
         # scan-over-lanes" alternative (only switching lanes execute the
         # precompute, serially) was implemented and MEASURED WORSE on the
@@ -257,9 +452,10 @@ def _lazy_switch_step(
             new_current,
             kf_pose_old,
         )
-        return kf, kfp, jnp.zeros_like(pending_all), pending_all
+        ring_out = _maybe_ring_write(ring_in, pending_all, kf)
+        return kf, kfp, jnp.zeros_like(pending_all), pending_all, ring_out
 
-    def recompute_sub(kf_old, kf_pose_old):
+    def recompute_sub(kf_old, kf_pose_old, ring_in):
         # Sub-batch switch compaction: the precompute's cost scales with the
         # number of lanes it runs on (channel gathers dominate, docs/PERF.md),
         # but on a typical diverse check frame only 1-4 of B lanes actually
@@ -291,34 +487,53 @@ def _lazy_switch_step(
             new_current,
             kf_pose_old,
         )
-        return kf, kfp, jnp.zeros_like(pending_all), pending_all
+        ring_out = _maybe_ring_write(ring_in, pending_all, kf)
+        return kf, kfp, jnp.zeros_like(pending_all), pending_all, ring_out
 
-    def keep(kf_old, kf_pose_old):
-        return kf_old, kf_pose_old, pending_all, jnp.zeros_like(pending_all)
+    def keep(kf_old, kf_pose_old, ring_in):
+        return (
+            kf_old, kf_pose_old, pending_all, jnp.zeros_like(pending_all),
+            ring_in,
+        )
 
+    ring_arg = ring if reloc_on else 0
     if batched and 0 < switch_subbatch < pending_all.shape[0]:
         n_pending = jnp.sum(pending_all.astype(jnp.int32))
 
-        def recompute_dispatch(kf_old, kf_pose_old):
+        def recompute_dispatch(kf_old, kf_pose_old, ring_in):
             return jax.lax.cond(
                 n_pending <= switch_subbatch,
                 recompute_sub,
                 recompute,
                 kf_old,
                 kf_pose_old,
+                ring_in,
             )
 
     else:
         recompute_dispatch = recompute
 
-    kf, keyframe_pose, pending_out, switched = jax.lax.cond(
-        check, recompute_dispatch, keep, state.kf, state.keyframe_pose
+    kf, keyframe_pose, pending_out, switched, ring_out = jax.lax.cond(
+        check, recompute_dispatch, keep, state.kf, state.keyframe_pose, ring_arg
     )
+
+    relocalized = jnp.zeros_like(result.failed)
+    if reloc_on:
+        new_current, kf, keyframe_pose, relocalized = _recover_lost(
+            config, lost, pyrs, ring_out, new_current, kf, keyframe_pose
+        )
+
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
-    diag = StepDiagnostics(flow=result.flow, failed=result.failed, switched=switched)
-    if pending is None:
-        return new_state, diag
-    return new_state, diag, pending_out
+    diag = StepDiagnostics(
+        flow=result.flow, failed=result.failed, switched=switched,
+        relocalized=relocalized,
+    )
+    outs = (new_state, diag)
+    if pending is not None:
+        outs = outs + (pending_out,)
+    if reloc_on:
+        outs = outs + (ring_out,)
+    return outs
 
 
 def track_sequence(
@@ -359,6 +574,7 @@ def batched_track_sequence(
     pending0: jnp.ndarray | None = None,
     frame_offset=0,
     return_pending: bool = False,
+    reloc_ring: RelocRing | None = None,
 ):
     """``lax.scan`` over frames of the vmapped step: clips are (F, B, H, W).
 
@@ -399,27 +615,44 @@ def batched_track_sequence(
     config = _resolve_batched_interp(config)
     nb_frames = depths.shape[0]
     batch = depths.shape[1]
+    reloc_on = reloc_ring is not None
+    if reloc_on and config.relocalize_window <= 0:
+        raise ValueError(
+            "reloc_ring passed but config.relocalize_window is 0; build the "
+            "config with relocalize_window=R and the ring with "
+            "batched_init_ring"
+        )
 
     def body(carry, frame):
-        s, pending = carry
+        s, pending, rng = carry
         t, d, i = frame
         do_check = (t + 1) % switch_cadence == 0
-        s2, diag, pending2 = _lazy_switch_step(
+        outs = _lazy_switch_step(
             config, intrinsics, s, d, i, batched=True,
             pending=pending, do_check=do_check,
             switch_subbatch=switch_subbatch,
+            ring=rng if reloc_on else None,
         )
-        return (s2, pending2), (s2.current_pose, diag)
+        if reloc_on:
+            s2, diag, pending2, ring2 = outs
+        else:
+            s2, diag, pending2 = outs
+            ring2 = rng
+        return (s2, pending2, ring2), (s2.current_pose, diag)
 
     if pending0 is None:
         pending0 = jnp.zeros((batch,), bool)
     frame_idx = frame_offset + jnp.arange(nb_frames)
-    (final, pending_out), out = jax.lax.scan(
-        body, (state, pending0), (frame_idx, depths, imgs)
+    (final, pending_out, ring_out), out = jax.lax.scan(
+        body, (state, pending0, reloc_ring if reloc_on else 0),
+        (frame_idx, depths, imgs),
     )
+    outs = (final, out)
     if return_pending:
-        return final, out, pending_out
-    return final, out
+        outs = outs + (pending_out,)
+    if reloc_on:
+        outs = outs + (ring_out,)
+    return outs
 
 
 def make_sharded_step(config: TrackerConfig, intrinsics: Intrinsics, mesh, axis="data"):
