@@ -682,3 +682,77 @@ def test_batched_relocalization_noop_on_healthy_batch():
     np.testing.assert_allclose(
         np.asarray(poses_on.q), np.asarray(poses_off.q), atol=1e-7
     )
+
+
+def test_batched_relocalization_sharded_matches_unsharded():
+    """The RelocRing threads through the data-sharded SPMD serving loop:
+    sharding the batch (state + ring + clips) over the 8-device mesh
+    reproduces the unsharded run, including which lanes relocalized."""
+    B, F = 8, 6
+    step = [0.09, 0.01, 0.005, 0.0, 0.06, 0.0]
+    total = -3.0 * np.asarray(step)
+    small = [0.01, 0.002, 0.001, 0.0, 0.005, 0.0]
+    twists_kid = np.asarray([step] * 3 + [list(total)] + [small, small], np.float32)
+    seqs = []
+    for b in range(B):
+        if b % 2 == 0:
+            seqs.append(synthetic.generate_sequence(
+                nb_frames=F + 1, height=96, width=128, seed=60 + b,
+                twist_per_frame=twists_kid,
+            ))
+        else:
+            seqs.append(synthetic.generate_sequence(
+                nb_frames=F + 1, height=96, width=128, seed=60 + b,
+                motion_scale=0.01, rot_scale=0.003,
+            ))
+    config = tracker_mod.TrackerConfig(
+        height=96, width=128, nb_levels=3, candidate_cap=512,
+        interp_method="gather", depth_scale=5000.0,
+        relocalize_window=3, relocalize_energy_accept=150.0,
+    )
+    intr = seqs[0].intrinsics
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs])
+    clip_d = jnp.stack([
+        jnp.stack([jnp.asarray(s.depths[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    clip_g = jnp.stack([
+        jnp.stack([jnp.asarray(s.grays[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+
+    def run(shard):
+        state = batch_mod.batched_init_state(config, intr, d0, g0)
+        ring = batch_mod.batched_init_ring(config, state)
+        dd, gg = clip_d, clip_g
+        if shard:
+            mesh = mesh_mod.make_mesh((8,), ("data",))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = mesh_mod.shard_batch(state, mesh)
+            ring = mesh_mod.shard_batch(ring, mesh)
+            sh = NamedSharding(mesh, P(None, "data"))
+            dd = jax.device_put(dd, sh)
+            gg = jax.device_put(gg, sh)
+        return batch_mod.batched_track_sequence(
+            config, intr, state, dd, gg, reloc_ring=ring
+        )
+
+    _, (poses_u, diags_u), ring_u = run(False)
+    _, (poses_s, diags_s), ring_s = run(True)
+    assert np.asarray(diags_u.relocalized).any()  # the kidnap lanes recover
+    np.testing.assert_array_equal(
+        np.asarray(diags_s.relocalized), np.asarray(diags_u.relocalized)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(diags_s.switched), np.asarray(diags_u.switched)
+    )
+    # SPMD partitioning changes the f32 reduction lowering; deviations
+    # compound over the LM iterations of 6 frames
+    np.testing.assert_allclose(
+        np.asarray(poses_s.t), np.asarray(poses_u.t), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ring_s.count), np.asarray(ring_u.count)
+    )
