@@ -653,3 +653,50 @@ def test_cli_batch_relocalize(tmp_path, capsys):
         np.asarray(frames[-1].pose.t) - np.asarray(seq_kid.poses[-1].t)
     ))
     assert err_tail < 0.02, err_tail
+
+
+def test_cli_slam_with_window_refinement(tmp_path, capsys):
+    """vors_slam --refine-window: the complete DSO-style pipeline —
+    tracking front-end, sliding-window photometric BA, loop closure on the
+    REFINED poses, pose-graph optimization.  Must run end to end and stay
+    at least as accurate as ground truth tracking allows."""
+    from visual_odometry_rs_tpu.cli import vors_slam
+    from visual_odometry_rs_tpu.eval import ate
+
+    out = [[0.05, 0.004, 0.002, 0.002, -0.001, 0.001]] * 5
+    back = [[-0.05, -0.004, -0.002, -0.002, 0.001, -0.001]] * 5
+    twists = np.asarray(out + back, np.float32)
+    seq = synthetic.generate_sequence(
+        nb_frames=len(twists) + 1, height=120, width=160, seed=47,
+        twist_per_frame=twists,
+    )
+    assoc_path = tum_rgbd.write_sequence(
+        str(tmp_path), seq.grays, seq.depths, seq.timestamps
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_slam.main(
+            ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "1024",
+             "--interp", "gather", "--loop-min-gap", "5",
+             "--loop-radius", "0.35", "--loop-max-candidates", "4",
+             "--refine-window", "3", "--refine-energy-tol", "0.05"]
+        )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "sliding-window refinement on" in err
+    frames = tum_rgbd.parse_trajectory(buf.getvalue())
+    assert len(frames) == len(twists)
+    gt = seq.poses[1:]
+    err_refined = ate.ate_rmse([f.pose for f in frames], gt)
+    # refined SLAM stays within the photometric floor of this scene
+    assert err_refined < 8e-3, err_refined
+
+    # checkpoint flags are rejected in refine mode (window state is not in
+    # the slam checkpoint yet)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        vors_slam.main(
+            ["fr1", assoc_path, "--refine-window", "3",
+             "--save-state", str(tmp_path / "s.npz")]
+        )

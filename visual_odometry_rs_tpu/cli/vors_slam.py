@@ -77,12 +77,31 @@ def main(argv=None) -> int:
         "per cube); 0 = keep every point",
     )
     parser.add_argument(
+        "--refine-window", type=int, default=0, metavar="W",
+        help="run DSO-style sliding-window photometric BA (window of W "
+        "frames, marginalization + prior transfer — models.sliding_window) "
+        "alongside tracking, so loop closure and the pose graph operate on "
+        "REFINED poses: the complete tracking -> windowed BA -> loop "
+        "closure -> PGO pipeline.  0 = off (track-only front-end)",
+    )
+    parser.add_argument(
+        "--refine-energy-tol", type=float, default=1.0,
+        help="per-pair d_energy stop for the window solves "
+        "(see vors_refine --energy-tol)",
+    )
+    parser.add_argument(
         "--relocalize", type=int, default=0, metavar="K",
         help="recover lost tracks against the last K keyframes "
         "(see vors_track --relocalize); 0 = off",
     )
     parser.add_argument("--relocalize-energy", type=float, default=150.0)
     args = parser.parse_args(argv)
+
+    if args.refine_window > 0 and (args.save_state or args.resume):
+        # the slam checkpoint serializes tracker state only; a resumed run
+        # would silently restart the window mid-sequence
+        parser.error("--refine-window does not support --save-state/--resume "
+                     "yet; run without checkpointing")
 
     _common.apply_compilation_cache(args)
     if args.cpu:
@@ -169,6 +188,23 @@ def main(argv=None) -> int:
         keyframe_ids = [0]
         kf_images = {0: (depth0, gray0)}
         frames_done = 0
+
+    sw = None
+    if args.refine_window > 0:
+        from ..models import sliding_window
+
+        sw = sliding_window.SlidingWindow(
+            config, intrinsics,
+            window_size=max(2, args.refine_window),
+            energy_tol=args.refine_energy_tol,
+            interp_method=args.interp,
+        )
+        sw.start(jnp.asarray(depth0), jnp.asarray(gray0), trajectory[0])
+        print(
+            f"sliding-window refinement on: window {sw.window_size}, "
+            "loop closure will see refined poses",
+            file=sys.stderr,
+        )
     todo = associations[1 + frames_done:]
     for idx, (assoc, (depth, gray)) in enumerate(
         zip(todo, tum_rgbd.frame_loader(todo)), start=1 + frames_done
@@ -180,6 +216,14 @@ def main(argv=None) -> int:
         ts, pose = trk.current_frame()
         trajectory.append(pose)
         timestamps.append(ts)
+        if sw is not None:
+            # windowed BA over the tracker's estimates: every member of the
+            # current window gets its jointly-refined pose (latest wins)
+            ids, refined_poses = sw.add_frame(
+                jnp.asarray(depth), jnp.asarray(gray), pose
+            )
+            for fid, p in zip(ids, refined_poses):
+                trajectory[fid] = p
         if trk.keyframe_switches > before:
             keyframe_ids.append(idx)
             kf_images[idx] = (depth, gray)
