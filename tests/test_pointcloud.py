@@ -169,3 +169,32 @@ def test_voxel_downsample():
     np.testing.assert_allclose(
         np.sort(out_p2, axis=0), np.sort(out_p, axis=0), atol=1e-6
     )
+
+
+def test_render_cloud_tool(tmp_path):
+    """tools/render_cloud.py: orthographic PNG render of an exported map."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import render_cloud
+
+    pts = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 2.0], [0.5, 0.2, 1.5]],
+                   np.float32)
+    inten = np.array([50, 200, 120], np.uint8)
+    img = render_cloud.render(pts, inten, plane="xz", size=64)
+    assert img.shape == (64, 64)
+    assert (img > 0).sum() == 3  # three distinct splats
+    assert img.max() == 200
+    # empty cloud renders an empty image
+    empty = render_cloud.render(np.zeros((0, 3), np.float32),
+                                np.zeros((0,), np.uint8), size=32)
+    assert empty.shape == (32, 32) and not empty.any()
+    # CLI end-to-end through a PLY file
+    ply = str(tmp_path / "m.ply")
+    png = str(tmp_path / "m.png")
+    pointcloud.write_ply(ply, pts, inten)
+    rc = render_cloud.main([ply, png, "--size", "64"])
+    assert rc == 0
+    import os
+
+    assert os.path.getsize(png) > 0
