@@ -691,12 +691,34 @@ def test_cli_slam_with_window_refinement(tmp_path, capsys):
     # refined SLAM stays within the photometric floor of this scene
     assert err_refined < 8e-3, err_refined
 
-    # checkpoint flags are rejected in refine mode (window state is not in
-    # the slam checkpoint yet)
-    import pytest
+    # --save-state/--resume with --refine-window: the window state rides in
+    # a sibling .window file; an interrupted run resumed mid-sequence must
+    # print the IDENTICAL final trajectory
+    common = ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "1024",
+              "--interp", "gather", "--loop-min-gap", "5",
+              "--loop-radius", "0.35", "--loop-max-candidates", "4",
+              "--refine-window", "3", "--refine-energy-tol", "0.05"]
+    ckpt = str(tmp_path / "s.ckpt")
+    buf_full = io.StringIO()
+    with redirect_stdout(buf_full):
+        rc = vors_slam.main(common + ["--save-state", ckpt, "--save-every", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    import os
 
-    with pytest.raises(SystemExit):
-        vors_slam.main(
-            ["fr1", assoc_path, "--refine-window", "3",
-             "--save-state", str(tmp_path / "s.npz")]
-        )
+    assert os.path.exists(ckpt) and os.path.exists(ckpt + ".window")
+
+    # the leftover checkpoint is the frame-8 state (save-every 4, 10
+    # frames); resuming it must retrace frames 9-10 and reproduce the
+    # uninterrupted trajectory exactly
+    buf_res = io.StringIO()
+    with redirect_stdout(buf_res):
+        rc = vors_slam.main(common + ["--resume", ckpt])
+    assert rc == 0
+    assert "resumed from" in capsys.readouterr().err
+    full = tum_rgbd.parse_trajectory(buf_full.getvalue())
+    res = tum_rgbd.parse_trajectory(buf_res.getvalue())
+    assert len(full) == len(res) == len(twists)
+    for a, b in zip(full, res):
+        np.testing.assert_allclose(np.asarray(a.pose.t), np.asarray(b.pose.t),
+                                   atol=1e-7)

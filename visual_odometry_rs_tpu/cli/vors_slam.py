@@ -97,12 +97,6 @@ def main(argv=None) -> int:
     parser.add_argument("--relocalize-energy", type=float, default=150.0)
     args = parser.parse_args(argv)
 
-    if args.refine_window > 0 and (args.save_state or args.resume):
-        # the slam checkpoint serializes tracker state only; a resumed run
-        # would silently restart the window mid-sequence
-        parser.error("--refine-window does not support --save-state/--resume "
-                     "yet; run without checkpointing")
-
     _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
@@ -199,7 +193,28 @@ def main(argv=None) -> int:
             energy_tol=args.refine_energy_tol,
             interp_method=args.interp,
         )
-        sw.start(jnp.asarray(depth0), jnp.asarray(gray0), trajectory[0])
+        if args.resume:
+            # the window state rides in a sibling file next to the slam
+            # checkpoint (same versioning/fingerprint refusal semantics)
+            try:
+                ckpt_mod.load_sliding_window(args.resume + ".window", sw)
+            except (ckpt_mod.CheckpointMismatchError, OSError, KeyError,
+                    ValueError) as e:
+                print(
+                    f"Cannot resume window state ({args.resume}.window): {e}",
+                    file=sys.stderr,
+                )
+                return 1
+            if sw._next_id != frames_done + 1:
+                print(
+                    f"Cannot resume: window checkpoint has consumed "
+                    f"{sw._next_id} frames but the slam checkpoint tracked "
+                    f"{frames_done} — the two files are out of sync",
+                    file=sys.stderr,
+                )
+                return 1
+        else:
+            sw.start(jnp.asarray(depth0), jnp.asarray(gray0), trajectory[0])
         print(
             f"sliding-window refinement on: window {sw.window_size}, "
             "loop closure will see refined poses",
@@ -232,6 +247,8 @@ def main(argv=None) -> int:
                 args.save_state, trk, trajectory, timestamps, keyframe_ids,
                 kf_images, idx,
             )
+            if sw is not None:
+                ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
             print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
 
     # --- 2. loop closure over keyframes -----------------------------------
