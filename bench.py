@@ -26,10 +26,13 @@ metric name per methodology — never compare across keys):
   fps_scan_b32_broadcast . fused scan, 32 identical lanes (flatters the
       switch cond: lockstep switches — kept only for round-over-round trend)
   fps_scan_b32_diverse . fused scan, 32 diverse lanes, all-lanes precompute
-  fps_scan_b32_diverse_subbatch4 . same semantics, sub-batch switch-lane
-      compaction (switch_subbatch=4: only the pending lanes precompute,
-      compacted into a fixed 4-lane sub-batch; >4 pending falls back to
-      all-lanes — reference-exact cadence-1 switching either way)
+  fps_scan_b32_diverse_subbatch8 . same semantics, sub-batch switch-lane
+      compaction (switch_subbatch=8 = B/4, the measured TPU optimum of the
+      round-3 K sweep in docs/PERF.md: only the pending lanes precompute,
+      compacted into a fixed 8-lane sub-batch; >8 pending falls back to
+      all-lanes — reference-exact cadence-1 switching either way.  Rounds
+      1-3 briefly reported a subbatch4 key; K=4 predates the sweep and
+      mostly hit the fallback, so that key is retired)
   fps_scan_b32_diverse_cadence4 . + switch-cadence batching (switches
       executed on every 4th frame; a documented semantics tradeoff,
       see parallel/batch.py)
@@ -236,8 +239,8 @@ def main() -> None:
     )(d0, g0)
     diverse_fps = scan_fps(state_div, clip_d, clip_g, 1, "fps_scan_b32_diverse")
     subbatch_fps = scan_fps(
-        state_div, clip_d, clip_g, 1, "fps_scan_b32_diverse_subbatch4",
-        subbatch=4,
+        state_div, clip_d, clip_g, 1, "fps_scan_b32_diverse_subbatch8",
+        subbatch=8,
     )
     cadence_fps = scan_fps(state_div, clip_d, clip_g, 4, "fps_scan_b32_diverse_cadence4")
 
@@ -255,7 +258,7 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(headline / REFERENCE_FPS_ESTIMATE, 3),
                 "variant": (
-                    "subbatch4" if subbatch_fps > diverse_fps else "all_lanes"
+                    "subbatch8" if subbatch_fps > diverse_fps else "all_lanes"
                 ),
             }
         )

@@ -30,6 +30,11 @@ def main() -> int:
     from visual_odometry_rs_tpu.parallel import batch as batch_mod
 
     batches = [int(a) for a in sys.argv[1:]] or [8, 32]
+    import os
+
+    ks = tuple(
+        int(k) for k in os.environ.get("AB_SUBBATCH_KS", "0,2,4,8").split(",")
+    )
 
     h, w, F = 480, 640, 10
     config = tracker_mod.TrackerConfig(height=h, width=w, nb_levels=6, candidate_cap=4096)
@@ -51,7 +56,7 @@ def main() -> int:
         clip_g = jnp.asarray(div_grays[:B, 1:].transpose(1, 0, 2, 3))
 
         ref_t = None
-        for K in (0, 2, 4, 8):
+        for K in ks:
             if K >= B:
                 continue
 

@@ -61,7 +61,8 @@ def main(argv=None) -> int:
         help="on switch frames, precompute only the pending lanes compacted "
         "into a fixed K-lane sub-batch (falls back to all-lanes when more "
         "than K pend at once).  Same results as 0 (off), cheaper on diverse "
-        "batches — see parallel/batch.py and docs/PERF.md",
+        "batches; -1 = auto (B/4, the measured TPU optimum) — see "
+        "parallel/batch.py and docs/PERF.md",
     )
     parser.add_argument("--chunk", type=int, default=8, metavar="N",
                         help="frames per fused device dispatch")

@@ -604,7 +604,10 @@ def batched_track_sequence(
     and poses agree to f32 lowering reassociation (~1e-7: the K-lane vmap
     compiles the same per-lane precompute at a different batch size; the
     lane movement itself is bit-exact).  Cheaper because precompute cost
-    scales with the lane count it runs on (docs/PERF.md).
+    scales with the lane count it runs on — though sub-linearly: small
+    sub-batches underutilize the MXU, so the measured optimum at B=32 is
+    ``K_sub = B/4`` (+14% over all-lanes; full K sweep in docs/PERF.md).
+    ``switch_subbatch=-1`` selects that auto rule, ``max(1, B // 4)``.
 
     For chunked serving (``vors_batch --chunk``), thread the cadence state
     across dispatches: pass ``pending0=`` the previous chunk's pending mask,
@@ -615,6 +618,8 @@ def batched_track_sequence(
     config = _resolve_batched_interp(config)
     nb_frames = depths.shape[0]
     batch = depths.shape[1]
+    if switch_subbatch == -1:
+        switch_subbatch = max(1, batch // 4)
     reloc_on = reloc_ring is not None
     if reloc_on and config.relocalize_window <= 0:
         raise ValueError(
