@@ -646,7 +646,8 @@ def stack_windows(wins) -> Window:
 
 
 def solve_window_batched(
-    wins: Window, mesh=None, axis: str = "data", **opts
+    wins: Window, mesh=None, axis: str = "data", *,
+    pose_prior=None, idepth_init=None, **opts
 ) -> WindowResult:
     """Data-parallel windowed BA: ``vmap`` of ``solve_window`` over a
     leading batch of INDEPENDENT windows (different sequences) — the
@@ -661,21 +662,49 @@ def solve_window_batched(
     reductions — same effect as docs/PERF.md's batched-interp lowering
     note), ~1e-5 in pose after a handful of iterations.
 
-    Per-window ``pose_prior``/``idepth_init`` are not supported here (as
-    keyword options they would be shared across lanes); call
-    ``solve_window`` per window when priors differ.
+    ``pose_prior``/``idepth_init`` are PER WINDOW (unlike ``solve_window``
+    where they are per call): ``pose_prior = (H (B,F,6,F,6), anchors
+    Pose with leading (B,F))`` and ``idepth_init (B,N)`` carry one prior /
+    warm start per lane — the carrier that lets the marginalized sliding
+    window (``models.sliding_window``) refine B sequences in ONE vmapped
+    solve per step instead of a per-sequence host loop.  ``None`` lanes are
+    expressed as zero-H priors (exact no-ops, see ``_zero_prior``).
     """
-    if opts.get("pose_prior") is not None or opts.get("idepth_init") is not None:
+    B, F = wins.poses.q.shape[0], wins.poses.q.shape[1]
+    if pose_prior is None:
+        Hp = jnp.zeros((B, F, 6, F, 6), Float)
+        anchors = pose_mod.identity((B, F))
+    else:
+        Hp, anchors = pose_prior
+        Hp = jnp.asarray(Hp, Float)
+        if Hp.shape != (B, F, 6, F, 6) or anchors.q.shape[:2] != (B, F):
+            raise ValueError(
+                "batched pose_prior must carry a leading batch axis: "
+                f"H (B,F,6,F,6)={(B, F, 6, F, 6)}, anchors Pose (B,F); got "
+                f"H {Hp.shape}, anchors {anchors.q.shape}"
+            )
+    if idepth_init is None:
+        idepth_init = wins.idepth
+    elif idepth_init.shape != wins.idepth.shape:
         raise ValueError(
-            "per-window pose_prior/idepth_init are not supported in the "
-            "batched driver; call solve_window per window instead"
+            "batched idepth_init must match wins.idepth shape "
+            f"{wins.idepth.shape}; got {idepth_init.shape}"
         )
-    fn = jax.jit(jax.vmap(lambda w: solve_window(w, **opts)))
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda w, hp, aq, at, ii: solve_window(
+                w, pose_prior=(hp, Pose(aq, at)), idepth_init=ii, **opts
+            )
+        )
+    )
     if mesh is not None:
         from ..parallel import mesh as mesh_mod
 
-        wins = mesh_mod.shard_batch(wins, mesh, axis)
-    return fn(wins)
+        wins, Hp, anchors, idepth_init = mesh_mod.shard_batch(
+            (wins, Hp, anchors, idepth_init), mesh, axis
+        )
+    return fn(wins, Hp, anchors.q, anchors.t, idepth_init)
 
 
 def window_from_tracking(

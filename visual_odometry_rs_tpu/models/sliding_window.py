@@ -540,3 +540,454 @@ class SlidingWindow:
                 self._set_keyframe(depth, gray, refined[-1], fid, pyr=pyr_new)
             self.keyframe_switches += 1
         return ids, refined
+
+
+class BatchedSlidingWindow:
+    """Data-parallel marginalized sliding window: B independent sequences
+    advance in LOCKSTEP, each with its OWN marginalization prior, window
+    membership, and keyframe epoch — refined in ONE vmapped solve per step.
+
+    Closes the round-3 scaling gap: ``solve_window_batched`` could not carry
+    per-window priors, so the marginalized product path (what ``vors_refine``
+    and ``vors_slam --refine-window`` run) was a per-sequence host loop.
+    Here every step costs:
+
+    - one vmapped coarse pose-only solve + one vmapped full-res staged solve
+      (``photometric_ba.solve_window_batched`` with per-lane
+      ``pose_prior``/``idepth_init``),
+    - one vmapped marginalization dispatch when the window is full (the
+      two camera-system builds, the Schur complement, and the PSD
+      eigenvalue clamp all run in-graph, batched — the per-lane driver does
+      the clamp on host numpy),
+    - and, on steps where ANY lane's flow criterion fires, one vmapped
+      keyframe precompute + per-lane select (the all-lanes-compute /
+      per-lane-select pattern of ``parallel.batch``; measured there to beat
+      per-lane scans, docs/PERF.md).
+
+    Lockstep constraints (by construction, enforced at init):
+
+    - ``switch_transfer=True`` only — a reset switch would shrink one lane's
+      window to a single frame while others keep F members, breaking the
+      shared static shape.  (The transfer variant is also the measurably
+      better policy, docs/PERF.md.)
+    - all lanes share ``window_size`` and the tracker config.
+
+    Per-lane results match ``SlidingWindow`` lane for lane up to f32
+    vmap-lowering noise (same caveat as ``solve_window_batched``), pinned by
+    ``tests/test_sliding_window.py::test_batched_sliding_window_matches_per_lane``.
+
+    With ``mesh`` the lane axis is sharded over ``mesh[axis]``
+    (communication-free DP, like ``parallel.batch``).
+    """
+
+    def __init__(
+        self,
+        config: tracker_mod.TrackerConfig,
+        intrinsics: Intrinsics,
+        window_size: int = 6,
+        *,
+        marginalize: bool = True,
+        max_iterations: int = 15,
+        idepth_prior_weight: float = 1e4,
+        energy_tol: float = 0.01,
+        interp_method: str = "auto",
+        robust_delta: float = 0.0,
+        brightness: bool = False,
+        coarse_level: int = 1,
+        switch_transfer: bool = True,
+        mesh=None,
+        mesh_axis: str = "data",
+    ):
+        if window_size < 2:
+            raise ValueError("window_size must be >= 2")
+        if not switch_transfer:
+            raise ValueError(
+                "BatchedSlidingWindow requires switch_transfer=True: a reset "
+                "switch would give lanes different window lengths (see class "
+                "docstring); use SlidingWindow for the reset policy"
+            )
+        self.config = config
+        self.intrinsics = intrinsics
+        self.window_size = window_size
+        self.marginalize = marginalize
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._solve_opts = dict(
+            max_iterations=max_iterations,
+            idepth_prior_weight=idepth_prior_weight,
+            energy_tol=energy_tol,
+            interp_method=interp_method,
+            robust_delta=robust_delta,
+            brightness=brightness,
+        )
+        self._idepth_prior_weight = idepth_prior_weight
+        self._interp_method = interp_method
+        self._robust_delta = robust_delta
+        self._brightness = brightness
+        self._max_iterations = max_iterations
+        self.coarse_level = min(coarse_level, config.nb_levels - 1)
+        self._pyr_b = jax.jit(
+            jax.vmap(lambda g: pyramid_ops.mean_pyramid(config.nb_levels, g))
+        )
+        self._precompute_b = jax.jit(
+            jax.vmap(
+                lambda d, p: tracker_mod.precompute_keyframe(
+                    config, intrinsics, d, p
+                )
+            )
+        )
+        self._jit_cache = {}
+        # mutable lockstep state (every leaf carries a leading (B,) lane axis)
+        self.kf_levels = None  # KeyframeData.levels, batched leaves
+        self.kf_c2w: Optional[Pose] = None  # (B,)
+        self.idepth = None  # (B, N)
+        self.images: List[jnp.ndarray] = []  # per slot: (B, H, W) f32
+        self.images_coarse: List[jnp.ndarray] = []
+        self.models: List[Pose] = []  # per slot: Pose (B,)
+        self.frame_ids: Optional[np.ndarray] = None  # (F, B) int
+        self.prior_H = None  # (B, F, 6, F, 6) — eagerly padded to F slots
+        self.prior_anchors: Optional[Pose] = None  # (B, F)
+        self.keyframe_switches = None  # (B,) int
+        self.batch = None
+        self._next_id = 0
+
+    # -- internals -----------------------------------------------------------
+
+    def _shard(self, tree):
+        if self.mesh is None:
+            return tree
+        from ..parallel import mesh as mesh_mod
+
+        return mesh_mod.shard_batch(tree, self.mesh, self.mesh_axis)
+
+    def _stacked_models(self) -> Pose:
+        return Pose(
+            jnp.stack([m.q for m in self.models], axis=1),
+            jnp.stack([m.t for m in self.models], axis=1),
+        )  # (B, F)
+
+    def _window_b(self, models: List[Pose], images: List[jnp.ndarray]):
+        """Batched ``Window``: every leaf has a leading (B,) lane axis.
+        ``win.idepth`` stays the keyframe's SENSOR inverse depths (the depth
+        prior's anchor) — refined depths enter only as ``idepth_init``."""
+        poses = Pose(
+            jnp.stack([m.q for m in models], axis=1),
+            jnp.stack([m.t for m in models], axis=1),
+        )
+        return photometric_ba.window_from_tracking(
+            self.config, self.intrinsics, self.kf_levels,
+            jnp.stack(images, axis=1), poses,
+        )
+
+    def _solver_b(self, F: int):
+        key = ("solve", F)
+        if key not in self._jit_cache:
+            opts = dict(self._solve_opts)
+
+            def run(win, Hp, aq, at, ii):
+                return jax.vmap(
+                    lambda w, hp, q, t, i: photometric_ba.solve_window(
+                        w, pose_prior=(hp, Pose(q, t)), idepth_init=i, **opts
+                    )
+                )(win, Hp, aq, at, ii)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _coarse_solver_b(self, F: int):
+        key = ("coarse", F)
+        if key not in self._jit_cache:
+            opts = dict(self._solve_opts)
+            opts["max_iterations"] = self._max_iterations
+            opts["refine_depth"] = False
+
+            def run(win, Hp, aq, at):
+                return jax.vmap(
+                    lambda w, hp, q, t: photometric_ba.solve_window(
+                        w, pose_prior=(hp, Pose(q, t)), **opts
+                    )
+                )(win, Hp, aq, at)
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _marginalizer_b(self, F: int):
+        """One jitted dispatch: both camera systems, the Schur complement of
+        slot 1, the kept-frames subtraction, and the PSD clamp — vmapped."""
+        key = ("marg", F)
+        if key not in self._jit_cache:
+            w_prior = jnp.asarray(self._idepth_prior_weight, Float)
+            zero = jnp.asarray(0.0, Float)
+
+            def one(win, win_kept, idepth, Hp, aq, at):
+                S_with, _, _, _, _ = photometric_ba._camera_system(
+                    win, win.poses, idepth, zero, w_prior,
+                    self._interp_method, self._robust_delta,
+                    brightness=self._brightness,
+                    pose_prior=(Hp, Pose(aq, at)),
+                )
+                H_marg = marginalize_frame(S_with, j=1)
+                S_wo, _, _, _, _ = photometric_ba._camera_system(
+                    win_kept, win_kept.poses, idepth, zero, w_prior,
+                    self._interp_method, self._robust_delta,
+                    brightness=self._brightness,
+                )
+                H_new = H_marg - S_wo[:, :6, :, :6]
+                n = (F - 1) * 6
+                M = H_new.reshape(n, n)
+                M = 0.5 * (M + M.T)
+                eigval, eigvec = jnp.linalg.eigh(M)
+                M = (eigvec * jnp.clip(eigval, 0.0, None)) @ eigvec.T
+                return M.reshape(F - 1, 6, F - 1, 6)
+
+            self._jit_cache[key] = jax.jit(jax.vmap(one))
+        return self._jit_cache[key]
+
+    def _switcher_b(self, F: int):
+        """Per-lane keyframe-switch transfer (same math as
+        ``SlidingWindow._switch_keyframe_transfer``), vmapped + masked:
+        models re-express against the newest frame, the prior transports by
+        the adjoint congruence, slots reorder newest-first, the new gauge
+        block conditions out — all selected per lane by ``switch``."""
+        key = ("switch", F)
+        if key not in self._jit_cache:
+            j = F - 1
+            order = jnp.asarray([j] + [i for i in range(F) if i != j])
+
+            def one(switch, mq, mt, Hp):
+                m_new = Pose(mq[j], mt[j])
+                inv_new = pose_mod.inverse(m_new)
+                nm = jax.vmap(
+                    lambda q, t: pose_mod.compose(Pose(q, t), inv_new)
+                )(mq, mt)
+                ident = pose_mod.identity()
+                nq = nm.q.at[j].set(ident.q)  # exact gauge, no f32 residue
+                nt = nm.t.at[j].set(ident.t)
+                Ad = se3.adjoint(inv_new)
+                Ht = jnp.einsum("ax,fagb,by->fxgy", Ad, Hp, Ad)
+                Ht = Ht[order][:, :, order]
+                Ht = Ht.at[0].set(0.0)
+                Ht = Ht.at[:, :, 0].set(0.0)
+                nq, nt = nq[order], nt[order]
+                out_q = jnp.where(switch, nq, mq)
+                out_t = jnp.where(switch, nt, mt)
+                out_H = jnp.where(switch, Ht, Hp)
+                return out_q, out_t, out_H
+
+            self._jit_cache[key] = jax.jit(jax.vmap(one))
+        return self._jit_cache[key]
+
+    def _flow_b(self):
+        if "flow" not in self._jit_cache:
+            from ..core import camera as camera_mod
+
+            def flow(coarse, model):
+                u, v = camera_mod.warp(
+                    model, coarse.xs, coarse.ys, coarse.idepth, coarse.intrinsics
+                )
+                validf = coarse.valid.astype(Float)
+                d = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
+                return jnp.sum(d * validf) / jnp.sum(validf)
+
+            self._jit_cache["flow"] = jax.jit(jax.vmap(flow))
+        return self._jit_cache["flow"]
+
+    def _pad_prior_to(self, F: int):
+        """Grow the (B, k, 6, k, 6) prior to F slots (zero blocks + anchor
+        tail at the current models — the tail anchors multiply zero H, so
+        their values are inert; same contract as ``SlidingWindow._prior_for``)."""
+        B = self.batch
+        k = self.prior_H.shape[1]
+        if k == F:
+            return
+        Hp = jnp.zeros((B, F, 6, F, 6), Float)
+        Hp = Hp.at[:, :k, :, :k, :].set(self.prior_H)
+        aq = jnp.concatenate(
+            [self.prior_anchors.q]
+            + [self.models[i].q[:, None] for i in range(k, F)], axis=1
+        )
+        at = jnp.concatenate(
+            [self.prior_anchors.t]
+            + [self.models[i].t[:, None] for i in range(k, F)], axis=1
+        )
+        self.prior_H = Hp
+        self.prior_anchors = Pose(aq, at)
+
+    def _marginalize_oldest_b(self):
+        """Lockstep marginalization of slot 1 across all lanes (the increment
+        form — see ``SlidingWindow._marginalize_oldest`` for why)."""
+        F = len(self.models)
+        self._pad_prior_to(F)
+        win = self._window_b(self.models, self.images)
+        keep = [0] + list(range(2, F))
+        kept_models = [self.models[i] for i in keep]
+        kept_images = [self.images[i] for i in keep]
+        win_kept = self._window_b(kept_models, kept_images)
+        H_new = self._marginalizer_b(F)(
+            win, win_kept, self.idepth,
+            self.prior_H, self.prior_anchors.q, self.prior_anchors.t,
+        )
+        self.images = kept_images
+        self.images_coarse = [self.images_coarse[i] for i in keep]
+        self.models = kept_models
+        self.frame_ids = self.frame_ids[keep]
+        self.prior_H = H_new
+        m = self._stacked_models()
+        self.prior_anchors = Pose(m.q, m.t)
+
+    # -- public API ----------------------------------------------------------
+
+    def start(self, depths, grays, c2w: Pose | None = None) -> int:
+        """Initialize all B lanes with their first keyframes.
+
+        ``depths``/``grays``: (B, H, W) stacks; ``c2w``: Pose with leading
+        (B,) (default: identity for every lane).  Returns the shared frame id.
+        """
+        depths = self._shard(jnp.asarray(depths))
+        grays = self._shard(jnp.asarray(grays))
+        B = depths.shape[0]
+        self.batch = B
+        if c2w is None:
+            c2w = pose_mod.identity((B,))
+        fid = self._next_id
+        self._next_id += 1
+        pyr = self._pyr_b(grays)
+        kf = self._precompute_b(depths, pyr)
+        self.kf_levels = kf.levels
+        self.kf_c2w = c2w
+        self.idepth = kf.levels[0].idepth
+        self.images = [grays.astype(jnp.float32)]
+        self.images_coarse = [pyr[self.coarse_level].astype(jnp.float32)]
+        self.models = [pose_mod.identity((B,))]
+        self.frame_ids = np.full((1, B), fid, np.int64)
+        self.prior_H = jnp.zeros((B, 1, 6, 1, 6), Float)
+        self.prior_anchors = Pose(
+            self.models[0].q[:, None], self.models[0].t[:, None]
+        )
+        self.keyframe_switches = np.zeros((B,), np.int64)
+        return fid
+
+    def add_frame(self, depths, grays, c2w_init: Pose):
+        """Advance every lane by one frame; returns ``(frame_ids (F, B),
+        refined Pose (B, F))`` — the camera-to-world estimates of the frames
+        currently in each lane's window (slot order per lane; after a lane's
+        keyframe switch its slots are reordered newest-first, consistent with
+        ``frame_ids[:, lane]``)."""
+        depths = self._shard(jnp.asarray(depths))
+        grays = self._shard(jnp.asarray(grays))
+        B = self.batch
+        fid = self._next_id
+        self._next_id += 1
+        if "rel" not in self._jit_cache:
+            self._jit_cache["rel"] = jax.jit(
+                jax.vmap(
+                    lambda cq, ct, kq, kt: pose_mod.compose(
+                        pose_mod.inverse(Pose(cq, ct)), Pose(kq, kt)
+                    )
+                )
+            )
+            self._jit_cache["refined"] = jax.jit(
+                jax.vmap(  # lanes
+                    jax.vmap(  # window slots
+                        lambda kq, kt, mq, mt: pose_mod.compose(
+                            Pose(kq, kt), pose_mod.inverse(Pose(mq, mt))
+                        ),
+                        in_axes=(None, None, 0, 0),
+                    )
+                )
+            )
+        model = self._jit_cache["rel"](
+            c2w_init.q, c2w_init.t, self.kf_c2w.q, self.kf_c2w.t
+        )
+        if len(self.models) == self.window_size:
+            if self.marginalize:
+                self._marginalize_oldest_b()
+            else:
+                keep = [0] + list(range(2, len(self.models)))
+                self.images = [self.images[i] for i in keep]
+                self.images_coarse = [self.images_coarse[i] for i in keep]
+                self.models = [self.models[i] for i in keep]
+                self.frame_ids = self.frame_ids[keep]
+                F = len(self.models)
+                self.prior_H = jnp.zeros((B, F, 6, F, 6), Float)
+                m = self._stacked_models()
+                self.prior_anchors = Pose(m.q, m.t)
+
+        self.images.append(grays.astype(jnp.float32))
+        pyr_new = self._pyr_b(grays)
+        if self.coarse_level > 0:
+            self.images_coarse.append(
+                pyr_new[self.coarse_level].astype(jnp.float32)
+            )
+        else:
+            self.images_coarse.append(self.images[-1])
+        self.models.append(model)
+        self.frame_ids = np.concatenate(
+            [self.frame_ids, np.full((1, B), fid, np.int64)]
+        )
+
+        F = len(self.models)
+        self._pad_prior_to(F)
+        Hp, aq, at = self.prior_H, self.prior_anchors.q, self.prior_anchors.t
+        if self.coarse_level > 0:
+            lvl = self.coarse_level
+            poses = self._stacked_models()
+            win_c = photometric_ba.window_from_tracking(
+                self.config, self.intrinsics, self.kf_levels,
+                jnp.stack(self.images_coarse, axis=1), poses, level=lvl,
+            )
+            res_c = self._coarse_solver_b(F)(win_c, Hp * (4.0 ** -lvl), aq, at)
+            self.models = [
+                Pose(res_c.poses.q[:, i], res_c.poses.t[:, i]) for i in range(F)
+            ]
+        win = self._window_b(self.models, self.images)
+        result = self._solver_b(F)(win, Hp, aq, at, self.idepth)
+        self.idepth = result.idepth
+        self.models = [
+            Pose(result.poses.q[:, i], result.poses.t[:, i]) for i in range(F)
+        ]
+
+        ids = self.frame_ids.copy()
+        m = self._stacked_models()
+        ref = self._jit_cache["refined"](self.kf_c2w.q, self.kf_c2w.t, m.q, m.t)
+        refined = Pose(ref.q, ref.t)  # (B, F)
+
+        # per-lane keyframe switch on the tracker flow criterion
+        flows = np.asarray(self._flow_b()(self.kf_levels[-1], self.models[-1]))
+        switch = flows >= self.config.flow_threshold
+        if switch.any():
+            switch_dev = self._shard(jnp.asarray(switch))
+            mq, mt, Ht = self._switcher_b(F)(switch_dev, m.q, m.t, self.prior_H)
+            self.models = [Pose(mq[:, i], mt[:, i]) for i in range(F)]
+            self.prior_H = Ht
+            self.prior_anchors = Pose(mq, mt)
+            # fresh depth epoch for switching lanes: all-lanes precompute +
+            # per-lane select (the parallel.batch pattern)
+            kf_new = self._precompute_b(depths, pyr_new)
+
+            def sel(new, old):
+                mask = switch_dev.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            self.kf_levels = jax.tree_util.tree_map(
+                sel, kf_new.levels, self.kf_levels
+            )
+            self.idepth = sel(kf_new.levels[0].idepth, self.idepth)
+            self.kf_c2w = Pose(
+                sel(refined.q[:, F - 1], self.kf_c2w.q),
+                sel(refined.t[:, F - 1], self.kf_c2w.t),
+            )
+            # slot reorder (newest first) for switching lanes
+            order = [F - 1] + list(range(F - 1))
+            self.images = [
+                sel(self.images[o], img)
+                for o, img in zip(order, self.images)
+            ]
+            self.images_coarse = [
+                sel(self.images_coarse[o], img)
+                for o, img in zip(order, self.images_coarse)
+            ]
+            ids_sw = self.frame_ids[order]
+            self.frame_ids = np.where(switch[None, :], ids_sw, self.frame_ids)
+            self.keyframe_switches += switch.astype(np.int64)
+        return ids, refined
