@@ -722,3 +722,139 @@ def test_cli_slam_with_window_refinement(tmp_path, capsys):
     for a, b in zip(full, res):
         np.testing.assert_allclose(np.asarray(a.pose.t), np.asarray(b.pose.t),
                                    atol=1e-7)
+
+
+def test_cli_batch_save_resume_matches_uninterrupted(tmp_path):
+    """vors_batch --save-state/--resume (VERDICT round-3 item 4): a run
+    split with --max-frames + --resume produces byte-identical trajectories
+    to the uninterrupted run, including cadence phase across the split (the
+    frame_offset carry) and with the relocalization ring threaded through
+    the checkpoint."""
+    import os
+
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    dirs = []
+    for i, nb in enumerate((7, 5)):  # different lengths: lane 1 finishes early
+        seq = synthetic.generate_sequence(
+            nb_frames=nb, height=120, width=160, seed=40 + i,
+            motion_scale=0.01 + 0.01 * i,
+        )
+        d = tmp_path / f"seq{i}"
+        d.mkdir()
+        dirs.append(
+            tum_rgbd.write_sequence(
+                # distinct per-lane timestamps so the per-lane sequence
+                # binding can actually tell the lanes apart
+                str(d), seq.grays, seq.depths, seq.timestamps + 100.0 * i
+            )
+        )
+
+    common = ["fr1", *dirs, "--nb-levels", "3", "--candidate-cap", "1024",
+              "--chunk", "2", "--switch-cadence", "3", "--relocalize", "2"]
+
+    out_full = str(tmp_path / "full")
+    rc = vors_batch.main(common + ["--out-dir", out_full])
+    assert rc == 0
+
+    ckpt = str(tmp_path / "batch.ckpt")
+    out_split = str(tmp_path / "split")
+    rc = vors_batch.main(
+        common + ["--out-dir", out_split, "--max-frames", "3",
+                  "--save-state", ckpt]
+    )
+    assert rc == 0
+    rc = vors_batch.main(
+        common + ["--out-dir", out_split, "--resume", ckpt]
+    )
+    assert rc == 0
+
+    for name in sorted(os.listdir(out_full)):
+        with open(os.path.join(out_full, name)) as f:
+            want = f.read()
+        with open(os.path.join(out_split, name)) as f:
+            got = f.read()
+        assert got == want, name
+
+    # refusals: wrong cadence, wrong sequence, wrong reloc setting
+    rc = vors_batch.main(
+        ["fr1", *dirs, "--out-dir", str(tmp_path / "bad1"), "--nb-levels",
+         "3", "--candidate-cap", "1024", "--chunk", "2", "--switch-cadence",
+         "2", "--relocalize", "2", "--resume", ckpt]
+    )
+    assert rc == 1
+    rc = vors_batch.main(
+        ["fr1", dirs[1], dirs[0], "--out-dir", str(tmp_path / "bad3"),
+         "--nb-levels", "3", "--candidate-cap", "1024", "--chunk", "2",
+         "--switch-cadence", "3", "--relocalize", "2", "--resume", ckpt]
+    )
+    assert rc == 1  # lanes swapped: per-lane sequence binding refuses
+    rc = vors_batch.main(
+        ["fr1", *dirs, "--out-dir", str(tmp_path / "bad4"), "--nb-levels",
+         "3", "--candidate-cap", "1024", "--chunk", "2", "--switch-cadence",
+         "3", "--resume", ckpt]
+    )
+    assert rc == 1  # ring saved but --relocalize off: refused
+
+
+def test_cli_slam_long_trajectory_bounded_memory(tmp_path):
+    """Sequence-scale SLAM e2e (VERDICT round-3 item 5): an out-and-back
+    trajectory whose every frame becomes a keyframe — 200+ keyframes through
+    vors_slam with the disk keyframe store, spatial-hash loop proposal, and
+    the sparse PGO back-end.  Asserts loop closures verify at scale and
+    records wall time + peak RSS of the subprocess (the PERF.md line)."""
+    import resource
+    import subprocess
+    import sys as _sys
+    import time
+
+    h, w, F_half = 96, 128, 110
+    # -x out, +x back: the return leg revisits outbound poses -> loops.
+    # 0.1 m/frame keeps coarsest-level flow above the switch threshold for
+    # the whole run (moving -x DECREASES the slanted plane's depth, so flow
+    # grows along the leg), making nearly every frame a keyframe — the
+    # retention stress case.
+    twists = np.concatenate([
+        np.tile([[-0.1, 0.0, 0.0, 0.0, 0.0, 0.0]], (F_half, 1)),
+        np.tile([[0.1, 0.0, 0.0, 0.0, 0.0, 0.0]], (F_half, 1)),
+    ]).astype(np.float32)
+    seq = synthetic.generate_sequence(
+        nb_frames=2 * F_half + 1, height=h, width=w, seed=77,
+        twist_per_frame=twists,
+    )
+    assoc = tum_rgbd.write_sequence(str(tmp_path), seq.grays, seq.depths, seq.timestamps)
+
+    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [_sys.executable, "-m", "visual_odometry_rs_tpu.cli.vors_slam",
+         "fr1", assoc, "--cpu", "--nb-levels", "3", "--candidate-cap", "512",
+         "--kf-store", "disk", "--loop-min-gap", "20",
+         "--loop-max-candidates", "8"],
+        capture_output=True, text=True, timeout=3000,
+    )
+    wall = time.perf_counter() - t0
+    after = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    peak_mb = (after if after > before else after) / 1024.0  # linux: KB
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    frames = tum_rgbd.parse_trajectory(proc.stdout)
+    assert len(frames) == 2 * F_half
+    import re
+
+    m = re.search(r"(\d+) keyframes, (\d+) verified loop edges", proc.stderr)
+    assert m, proc.stderr[-2000:]
+    n_kf, n_edges = int(m.group(1)), int(m.group(2))
+    assert n_kf >= 200, n_kf  # the retention stress premise held
+    assert n_edges >= 1, proc.stderr[-2000:]
+    assert "pose graph" in proc.stderr  # the (sparse, >64 nodes) PGO ran
+    # optimized output must stay sane end to end
+    est = [pose_mod.identity()] + [f.pose for f in frames]
+    err = ate.ate_rmse(est, seq.poses)
+    assert np.isfinite(err) and err < 1.0, err
+    print(
+        f"slam long-trajectory: {n_kf} keyframes, {n_edges} loop edges, "
+        f"wall {wall:.1f}s, subprocess peak RSS {peak_mb:.0f} MB, "
+        f"ATE {err:.4f}",
+        file=_sys.stderr,
+    )

@@ -103,3 +103,33 @@ def test_loop_closure_pgo_reduces_ate(loop_setup):
     ]
     ate_after = ate.ate_rmse(optimized, seq.poses)
     assert ate_after < 0.3 * ate_before, (ate_before, ate_after)
+
+
+def test_propose_grid_matches_bruteforce():
+    """The spatial-hash proposal (round 4: O(N x density), no O(N²) matrix)
+    returns exactly the all-pairs formulation's pairs, including ordering,
+    the closest-first cap, and non-monotonic node_ids."""
+    import numpy as np
+
+    from visual_odometry_rs_tpu.math import pose as pose_mod
+    from visual_odometry_rs_tpu.math import se3
+    from visual_odometry_rs_tpu.models import loop_closure
+
+    rng = np.random.default_rng(5)
+    n = 120
+    poses = []
+    for _ in range(n):
+        # a meandering walk that revisits its neighborhood
+        t = rng.normal(scale=0.8, size=3).astype(np.float32)
+        xi = np.concatenate([t * 0.0, rng.normal(scale=0.1, size=3)])
+        p = se3.exp(jnp.asarray(xi, jnp.float32))
+        poses.append(pose_mod.Pose(p.q, jnp.asarray(t)))
+    for lc in (
+        loop_closure.LoopClosureConfig(radius=0.5, min_gap=10, max_candidates=1000),
+        loop_closure.LoopClosureConfig(radius=1.2, max_angle=0.4, min_gap=5,
+                                       max_candidates=7),
+    ):
+        for ids in (None, list(rng.permutation(n))):
+            got = loop_closure.propose_candidates(poses, lc, node_ids=ids)
+            want = loop_closure._propose_bruteforce(poses, lc, node_ids=ids)
+            assert got == want, (lc, ids is None, got[:5], want[:5])

@@ -412,3 +412,68 @@ def test_level0_depth_byte_gather_bit_exact():
         np.testing.assert_array_equal(np.asarray(a.jacobians), np.asarray(b.jacobians))
         np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
         np.testing.assert_array_equal(np.asarray(a.tmpl_vals), np.asarray(b.tmpl_vals))
+
+
+def test_dso_selector_product_path_tracks():
+    """candidate_selector='dso' (VERDICT round-3 item 7: the DSO picker as a
+    usable product option, not a museum piece): the host Tracker tracks a
+    synthetic sequence with DSO-selected candidates at comparable accuracy
+    to the default coarse-to-fine selector, and the two selectors genuinely
+    pick different candidate sets."""
+    import dataclasses
+
+    from visual_odometry_rs_tpu.eval import ate
+
+    h, w, F = 120, 160, 5
+    seq = synthetic.generate_sequence(nb_frames=F, height=h, width=w, seed=13)
+
+    def run(selector):
+        config = tracker_mod.TrackerConfig(
+            height=h, width=w, nb_levels=3, candidate_cap=2048,
+            candidate_selector=selector, dso_target=1500,
+            # the synthetic sinusoid texture is weak: block maxima sit below
+            # the a=1 median threshold (faithful DSO picks nothing there);
+            # a=0.2 admits ~the target count on this scene
+            dso_threshold_coef_a=0.2,
+        )
+        trk = tracker_mod.init_tracker(
+            config, seq.intrinsics, 0.0, jnp.asarray(seq.depths[0]),
+            0.0, jnp.asarray(seq.grays[0]),
+        )
+        estimated = [pose_mod.identity()]
+        for f in range(1, F):
+            trk.track(float(f), jnp.asarray(seq.depths[f]), float(f),
+                      jnp.asarray(seq.grays[f]))
+            estimated.append(trk.current_frame()[1])
+        n_finest = int(jnp.sum(trk.keyframe_data.levels[0].valid))
+        return ate.ate_rmse(estimated, seq.poses), n_finest
+
+    ate_c2f, n_c2f = run("coarse_to_fine")
+    ate_dso, n_dso = run("dso")
+    # both selectors must track the sequence; DSO inherits the reference's
+    # own accuracy characteristics, so gate it loosely against c2f
+    assert ate_c2f < 5e-3, ate_c2f
+    assert ate_dso < max(3.0 * ate_c2f, 5e-3), (ate_dso, ate_c2f)
+    assert n_dso != n_c2f  # genuinely different candidate sets
+    # DSO's block recursion adapts toward dso_target
+    assert 0.5 * 1500 <= n_dso <= 4.5 * 1500, n_dso
+
+
+def test_dso_selector_rejected_in_graph():
+    """The fused in-graph drivers cannot host the DSO recursion: the jitted
+    precompute must refuse with a clear error instead of silently falling
+    back to coarse-to-fine."""
+    import pytest
+
+    from visual_odometry_rs_tpu.ops import pyramid as pyramid_ops
+
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=2, candidate_cap=256,
+        candidate_selector="dso",
+    )
+    seq = synthetic.generate_sequence(nb_frames=1, height=48, width=64, seed=1)
+    pyr = pyramid_ops.mean_pyramid(2, jnp.asarray(seq.grays[0]))
+    with pytest.raises(ValueError, match="dso"):
+        tracker_mod.precompute_keyframe(
+            config, seq.intrinsics, jnp.asarray(seq.depths[0]), pyr
+        )

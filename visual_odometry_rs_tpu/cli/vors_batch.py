@@ -89,6 +89,24 @@ def main(argv=None) -> int:
         help="estimate per-frame affine brightness (gain/bias) jointly with "
         "the pose — for auto-exposure cameras",
     )
+    parser.add_argument(
+        "--save-state", metavar="PATH",
+        help="checkpoint the batched serving state (TrackState + cadence "
+        "carry + relocalization ring) to PATH after every chunk and at the "
+        "end; resume with --resume on the SAME association files",
+    )
+    parser.add_argument(
+        "--resume", metavar="PATH",
+        help="restore a --save-state checkpoint and continue: consumed "
+        "frames are skipped (trajectory files are appended to), the cadence "
+        "phase continues from the saved global frame index, and the "
+        "checkpoint is refused on config/cadence/sequence mismatch",
+    )
+    parser.add_argument(
+        "--max-frames", type=int, default=0, metavar="N",
+        help="stop after the first N frames per sequence (0 = all) — slice "
+        "long runs into restartable pieces with --save-state/--resume",
+    )
     args = parser.parse_args(argv)
     if args.interp == "pallas" and (args.robust_delta > 0.0 or args.brightness_model):
         print(
@@ -200,11 +218,12 @@ def main(argv=None) -> int:
         else:
             seen[name] = 0
         names.append(name)
-    outs = [open(os.path.join(args.out_dir, n), "w") for n in names]
 
     loaders = [iter(tum_rgbd.frame_loader(a[1:])) for a in all_assocs]
     lengths = [len(a) - 1 for a in all_assocs]
     max_len = max(lengths)
+    if args.max_frames > 0:
+        max_len = min(max_len, args.max_frames)
     last = [first[i] for i in range(B)]  # (depth, gray) to repeat when done
 
     frame_idx = 0
@@ -213,6 +232,65 @@ def main(argv=None) -> int:
         jax.jit(lambda s: batch_mod.batched_init_ring(config, s))(state)
         if reloc_on else jnp.int32(0)
     )
+
+    from ..utils import checkpoint as checkpoint_mod
+
+    out_mode = "w"
+    if args.resume:
+        try:
+            state_r, pending, ring_r, frame_idx, lane_ts = checkpoint_mod.load_batch(
+                args.resume, state, ring if reloc_on else None,
+                config, intrinsics, args.switch_cadence,
+            )
+        except checkpoint_mod.CheckpointMismatchError as e:
+            print(f"Cannot resume: {e}", file=sys.stderr)
+            return 1
+        except (OSError, KeyError, ValueError) as e:
+            print(f"Cannot read checkpoint {args.resume}: {e}", file=sys.stderr)
+            return 1
+        if len(lane_ts) != B:
+            print(
+                f"Cannot resume: checkpoint has {len(lane_ts)} lanes, "
+                f"{B} association files given", file=sys.stderr,
+            )
+            return 1
+        for b, ts in enumerate(lane_ts):
+            if not checkpoint_mod.sequence_matches(ts, all_assocs[b]):
+                print(
+                    f"Cannot resume: lane {b} ({args.associations_files[b]}) "
+                    "does not match the checkpoint's consumed frames — "
+                    "resume with the SAME association files in the SAME "
+                    "order", file=sys.stderr,
+                )
+                return 1
+        state = state_r
+        if reloc_on:
+            ring = ring_r
+        if mesh is not None:
+            state = mesh_mod.shard_batch(state, mesh)
+            if reloc_on:
+                ring = mesh_mod.shard_batch(ring, mesh)
+        # fast-forward the decode loaders past the consumed frames, keeping
+        # each lane's last frame (finished lanes keep receiving it)
+        for b in range(B):
+            for _ in range(min(frame_idx, lengths[b])):
+                last[b] = next(loaders[b])
+        out_mode = "a"  # append: lines for consumed frames already exist
+        print(
+            f"resumed {B} lanes at global frame {frame_idx}", file=sys.stderr
+        )
+
+    def save_checkpoint(next_frame_idx: int) -> None:
+        lane_ts = [
+            [a.depth_timestamp for a in all_assocs[b][: min(next_frame_idx, lengths[b]) + 1]]
+            for b in range(B)
+        ]
+        checkpoint_mod.save_batch(
+            args.save_state, state, pending, ring if reloc_on else None,
+            next_frame_idx, config, intrinsics, args.switch_cadence, lane_ts,
+        )
+
+    outs = [open(os.path.join(args.out_dir, n), out_mode) for n in names]
     while frame_idx < max_len:
         n = min(args.chunk, max_len - frame_idx)
         clip_d = np.empty((n, B, h, w), np.uint16)
@@ -252,6 +330,10 @@ def main(argv=None) -> int:
                 ).to_string()
                 outs[b].write(line + "\n")
         frame_idx += n
+        if args.save_state:
+            for fh in outs:
+                fh.flush()
+            save_checkpoint(frame_idx)
 
     for fh in outs:
         fh.close()

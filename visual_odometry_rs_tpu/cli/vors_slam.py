@@ -32,6 +32,71 @@ from . import _common
 USAGE = "Usage: vors_slam [fr1|fr2|fr3|icl] associations_file"
 
 
+class _KeyframeStore:
+    """Bounded keyframe image retention (``--kf-store``).
+
+    ``memory``: the round-3 behavior — every keyframe's (depth, gray) stays
+    resident, O(keyframes x image) RSS (at 640x480 that is ~0.9 MB per
+    keyframe: the front-end memory wall on long trajectories).
+    ``disk``: only the frame id is kept; images re-decode from the dataset
+    on demand through a small LRU (loop-closure verification touches at most
+    the proposal endpoints, map export streams in chunks), so front-end
+    memory is O(1) in trajectory length.
+    """
+
+    _LRU = 32
+
+    def __init__(self, mode: str, associations):
+        self.mode = mode
+        self._assocs = associations
+        self._mem = {}
+        self._lru: "dict[int, tuple]" = {}
+
+    def put(self, fid: int, depth, gray) -> None:
+        if self.mode == "memory":
+            self._mem[fid] = (depth, gray)
+
+    def get(self, fid: int):
+        if self.mode == "memory":
+            return self._mem[fid]
+        if fid in self._lru:
+            self._lru[fid] = self._lru.pop(fid)  # refresh recency
+            return self._lru[fid]
+        from ..dataset import tum_rgbd
+
+        frame = tum_rgbd.read_images(self._assocs[fid])
+        self._lru[fid] = frame
+        while len(self._lru) > self._LRU:
+            self._lru.pop(next(iter(self._lru)))
+        return frame
+
+    def images_for_checkpoint(self):
+        """Images for ``checkpoint.save_slam``: ``None`` in disk mode (the
+        checkpoint stays O(tracker state); resume re-decodes on demand)."""
+        return self._mem if self.mode == "memory" else None
+
+
+class _LazyFrames:
+    """List-like view of keyframe depths (``part=0``) or grays (``part=1``)
+    that decodes through a ``_KeyframeStore`` on access — what
+    ``loop_closure.detect_loops`` (int indexing) and
+    ``pointcloud.keyframe_clouds`` (len + chunk slicing) consume without
+    ever materializing all keyframe images at once."""
+
+    def __init__(self, store: _KeyframeStore, fids, part: int):
+        self._store = store
+        self._fids = list(fids)
+        self._part = part
+
+    def __len__(self) -> int:
+        return len(self._fids)
+
+    def __getitem__(self, k):
+        if isinstance(k, slice):
+            return [self._store.get(f)[self._part] for f in self._fids[k]]
+        return self._store.get(self._fids[k])[self._part]
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(usage=USAGE)
     parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
@@ -95,6 +160,14 @@ def main(argv=None) -> int:
         "(see vors_track --relocalize); 0 = off",
     )
     parser.add_argument("--relocalize-energy", type=float, default=150.0)
+    parser.add_argument(
+        "--kf-store", choices=["disk", "memory"], default="disk",
+        help="keyframe image retention for loop closure / map export: "
+        "'disk' (default) re-decodes keyframe frames from the dataset on "
+        "demand — front-end memory stays O(1) in trajectory length; "
+        "'memory' keeps every keyframe's depth+gray resident (the round-3 "
+        "behavior: faster verification, O(keyframes x image) RSS)",
+    )
     args = parser.parse_args(argv)
 
     _common.apply_compilation_cache(args)
@@ -143,6 +216,8 @@ def main(argv=None) -> int:
     # --- 1. track ---------------------------------------------------------
     from ..utils import checkpoint as ckpt_mod
 
+    store = _KeyframeStore(args.kf_store, associations)
+
     trk = tracker_mod.init_tracker(
         config, intrinsics,
         associations[0].depth_timestamp, jnp.asarray(depth0),
@@ -158,6 +233,10 @@ def main(argv=None) -> int:
             # ValueError: np.load on a corrupt / non-npz file
             print(f"Cannot resume: {e}", file=sys.stderr)
             return 1
+        if kf_images is not None:
+            # pre-round-4 checkpoint carrying the images: seed the store
+            for fid, (d, g) in kf_images.items():
+                store.put(fid, d, g)
         # the config fingerprint alone would accept a checkpoint from a
         # different dataset with the same camera — bind to the sequence by
         # checking the tracked timestamps against the associations prefix
@@ -180,7 +259,7 @@ def main(argv=None) -> int:
         trajectory = [pose_mod.identity()]
         timestamps = [associations[0].depth_timestamp]
         keyframe_ids = [0]
-        kf_images = {0: (depth0, gray0)}
+        store.put(0, depth0, gray0)
         frames_done = 0
 
     sw = None
@@ -241,11 +320,11 @@ def main(argv=None) -> int:
                 trajectory[fid] = p
         if trk.keyframe_switches > before:
             keyframe_ids.append(idx)
-            kf_images[idx] = (depth, gray)
+            store.put(idx, depth, gray)
         if args.save_state and (idx - frames_done) % max(1, args.save_every) == 0:
             ckpt_mod.save_slam(
                 args.save_state, trk, trajectory, timestamps, keyframe_ids,
-                kf_images, idx,
+                store.images_for_checkpoint(), idx,
             )
             if sw is not None:
                 ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
@@ -260,8 +339,8 @@ def main(argv=None) -> int:
         energy_accept=args.loop_energy_accept,
     )
     kf_poses = [trajectory[i] for i in keyframe_ids]
-    kf_depths = [kf_images[i][0] for i in keyframe_ids]
-    kf_grays = [kf_images[i][1] for i in keyframe_ids]
+    kf_depths = _LazyFrames(store, keyframe_ids, 0)
+    kf_grays = _LazyFrames(store, keyframe_ids, 1)
     edges = loop_closure.detect_loops(
         config, intrinsics, kf_poses, kf_depths, kf_grays, lc,
         node_ids=keyframe_ids,
@@ -315,8 +394,8 @@ def main(argv=None) -> int:
 
         pts, inten = pointcloud.keyframe_clouds(
             config, intrinsics,
-            [kf_images[i][0] for i in keyframe_ids],
-            [kf_images[i][1] for i in keyframe_ids],
+            kf_depths,
+            kf_grays,
             [optimized[i] for i in keyframe_ids],
         )
         pts, inten = pointcloud.voxel_downsample(pts, inten, args.cloud_voxel)

@@ -44,6 +44,17 @@ def main(argv=None) -> int:
         "(0 = reference-exact L2)",
     )
     parser.add_argument(
+        "--candidate-selector", choices=["coarse_to_fine", "dso"],
+        default="coarse_to_fine",
+        help="keyframe candidate picker: coarse_to_fine (the reference "
+        "tracker's selector) or dso (the faithful DSO point picker, "
+        "dso.rs:98-147; host-side recursion, so not available with --chunk)",
+    )
+    parser.add_argument(
+        "--dso-target", type=int, default=2000,
+        help="DSO selector point-count target (block size adapts toward it)",
+    )
+    parser.add_argument(
         "--brightness-model", action="store_true",
         help="estimate per-frame affine brightness (gain/bias) jointly with "
         "the pose — for auto-exposure cameras",
@@ -131,8 +142,18 @@ def main(argv=None) -> int:
         brightness_model=args.brightness_model,
         relocalize_window=max(0, args.relocalize),
         relocalize_energy_accept=args.relocalize_energy,
+        candidate_selector=args.candidate_selector,
+        dso_target=args.dso_target,
     )
     if args.chunk > 0:
+        if args.candidate_selector == "dso":
+            print(
+                "--candidate-selector dso needs the host-side block-size "
+                "recursion and is not supported with --chunk (in-graph "
+                "keyframe precompute); run without --chunk",
+                file=sys.stderr,
+            )
+            return 1
         if args.resume or args.save_state:
             print(
                 "--chunk uses functional (device-resident) tracker state and "

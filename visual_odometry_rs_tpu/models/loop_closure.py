@@ -58,11 +58,24 @@ def _stack(poses: Sequence[Pose]) -> Pose:
     return Pose(jnp.stack([p.q for p in poses]), jnp.stack([p.t for p in poses]))
 
 
+def _pair_gates(t, q, ids, i, j, lc: LoopClosureConfig):
+    """(passes, dist) for the ordered pair (i later, j earlier)."""
+    if ids[i] - ids[j] <= lc.min_gap:
+        return False, 0.0
+    d = float(np.linalg.norm(t[i] - t[j]))
+    if d >= lc.radius:
+        return False, d
+    # relative rotation angle from |<q_i, q_j>|: angle = 2 acos(|dot|)
+    dot = abs(float(np.dot(q[i], q[j])))
+    ang = 2.0 * np.arccos(min(max(dot, -1.0), 1.0))
+    return ang < lc.max_angle, d
+
+
 def propose_candidates(
     poses: Sequence[Pose], lc: LoopClosureConfig, node_ids=None
 ) -> List[Tuple[int, int]]:
-    """Candidate loop pairs (i, j), i > j with temporal gap > min_gap, by
-    pose proximity.
+    """Candidate loop pairs (i, j), ``ids[i] - ids[j] > min_gap``, by pose
+    proximity.
 
     Returns pairs ordered by estimated distance (closest first), at most
     ``max_candidates``.  Proximity is evaluated on the given (drifty)
@@ -70,21 +83,47 @@ def propose_candidates(
     each pose to its temporal identity (e.g. frame index when the poses are
     a keyframe subset); the gap gate uses these ids, defaulting to list
     positions.
+
+    Scaling: candidates come from a spatial hash grid with cell size
+    ``radius`` (each node checks its 27 neighboring cells), so proposal is
+    O(N x local density) instead of the O(N²) all-pairs matrix the round-3
+    version materialized — the difference between milliseconds and a dense
+    (N, N, 3) numpy allocation at thousands of keyframes.  Results are
+    identical to the all-pairs formulation (pinned by
+    ``tests/test_loop_closure.py::test_propose_grid_matches_bruteforce``).
     """
     P = _stack(poses)
-    t = np.asarray(P.t)  # (N, 3)
-    q = np.asarray(P.q)
+    t = np.asarray(P.t, np.float64)  # (N, 3)
+    q = np.asarray(P.q, np.float64)
     n = t.shape[0]
     ids = np.asarray(node_ids if node_ids is not None else np.arange(n))
-    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    gap_ok = ids[ii] - ids[jj] > lc.min_gap
-    dist = np.linalg.norm(t[ii] - t[jj], axis=-1)
-    # relative rotation angle from |<q_i, q_j>|: angle = 2 acos(|dot|)
-    dots = np.abs(np.sum(q[ii] * q[jj], axis=-1))
-    ang = 2.0 * np.arccos(np.clip(dots, -1.0, 1.0))
-    ok = gap_ok & (dist < lc.radius) & (ang < lc.max_angle)
-    pairs = [(int(i), int(j)) for i, j in zip(ii[ok], jj[ok])]
-    pairs.sort(key=lambda p: dist[p[0], p[1]])
+
+    cell = max(float(lc.radius), 1e-9)
+    grid: dict = {}
+    pairs: List[Tuple[int, int]] = []
+    dists: dict = {}
+    cells_of = np.floor(t / cell).astype(np.int64)
+    for i in range(n):
+        ci = tuple(cells_of[i])
+        # every unordered pair is examined exactly once: at the LATER list
+        # index's insertion, against already-inserted nodes; both temporal
+        # orderings are gated so non-monotonic node_ids still work
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for j in grid.get((ci[0] + dx, ci[1] + dy, ci[2] + dz), ()):
+                        ok, d = _pair_gates(t, q, ids, i, j, lc)
+                        if ok:
+                            pairs.append((i, j))
+                            dists[(i, j)] = d
+                        else:
+                            ok, d = _pair_gates(t, q, ids, j, i, lc)
+                            if ok:
+                                pairs.append((j, i))
+                                dists[(j, i)] = d
+        grid.setdefault(ci, []).append(i)
+
+    pairs.sort(key=lambda p: (dists[p], p))
     if len(pairs) > lc.max_candidates:
         # no silent caps (repo standard): say what verification work the
         # closest-first truncation is dropping
@@ -94,6 +133,27 @@ def propose_candidates(
             f"(raise max_candidates to verify more)",
             file=sys.stderr,
         )
+    return pairs[: lc.max_candidates]
+
+
+def _propose_bruteforce(
+    poses: Sequence[Pose], lc: LoopClosureConfig, node_ids=None
+) -> List[Tuple[int, int]]:
+    """Round-3 all-pairs proposal, kept as the oracle for the grid version
+    (O(N²) memory — do not use on long trajectories)."""
+    P = _stack(poses)
+    t = np.asarray(P.t, np.float64)
+    q = np.asarray(P.q, np.float64)
+    n = t.shape[0]
+    ids = np.asarray(node_ids if node_ids is not None else np.arange(n))
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    gap_ok = ids[ii] - ids[jj] > lc.min_gap
+    dist = np.linalg.norm(t[ii] - t[jj], axis=-1)
+    dots = np.abs(np.sum(q[ii] * q[jj], axis=-1))
+    ang = 2.0 * np.arccos(np.clip(dots, -1.0, 1.0))
+    ok = gap_ok & (dist < lc.radius) & (ang < lc.max_angle)
+    pairs = [(int(i), int(j)) for i, j in zip(ii[ok], jj[ok])]
+    pairs.sort(key=lambda p: (dist[p[0], p[1]], p))
     return pairs[: lc.max_candidates]
 
 

@@ -109,6 +109,21 @@ class TrackerConfig:
     relocalize_window: int = 0
     relocalize_energy_accept: float = 150.0
     relocalize_min_inside_frac: float = 0.5
+    # candidate selection algorithm for keyframe precompute:
+    # "coarse_to_fine" (reference tracker's selector, coarse_to_fine.rs:15)
+    # or "dso" (the faithful DSO picker, dso.rs:98-147 — host-side Tracker
+    # only: its block-size recursion is a data-dependent host decision, so
+    # the fused in-graph drivers (parallel.batch, --chunk) reject it).
+    # ``dso_target`` is the DSO point-count target (examples/README.md
+    # uses 2000; the recursion adapts block size toward it).
+    candidate_selector: str = "coarse_to_fine"
+    dso_target: int = 2000
+    # DSO regional threshold ``a (mean3x3(median) + b)^2`` coefficients
+    # (dso.rs:37-42; the reference notes "(2.0,3) in dso and (1.0,3) in
+    # ldso").  On weakly-textured scenes the block maxima sit below the
+    # median-based threshold at a=1; lower ``a`` to admit them.
+    dso_threshold_coef_a: float = 1.0
+    dso_threshold_coef_b: int = 3
 
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
@@ -372,6 +387,7 @@ def precompute_keyframe(
     intrinsics: Intrinsics,
     depth_map: jnp.ndarray,
     img_pyramid: List[jnp.ndarray],
+    finest_mask: jnp.ndarray | None = None,
 ) -> KeyframeData:
     """Precompute all per-keyframe data (inverse_compositional.rs:105-161).
 
@@ -379,13 +395,32 @@ def precompute_keyframe(
     pyramid fused with the DSO-mean strategy, and per-candidate Jacobians and
     template intensities at every level.  Jittable; runs at init and on every
     keyframe switch.
+
+    ``finest_mask`` overrides the in-graph coarse-to-fine selection with a
+    precomputed level-0 candidate mask — the carrier for the DSO selector
+    (``config.candidate_selector == "dso"``), whose block-size recursion is
+    a host-side decision (``core.candidates.dso.select``) and therefore
+    cannot run inside this jitted function.
     """
     nb_levels = len(img_pyramid)
     intr_levels = camera_mod.multi_res(intrinsics, nb_levels)
     grads = _keyframe_gradients(img_pyramid)
-    sqn = [gradient_ops.squared_norm(gx, gy) for gx, gy in grads]
 
-    finest_mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
+    if finest_mask is None:
+        if config.candidate_selector == "dso":
+            raise ValueError(
+                "candidate_selector='dso' requires a host-side selection "
+                "pass (core.candidates.dso.select is a data-dependent "
+                "host recursion): use the host Tracker, or pass "
+                "finest_mask= explicitly.  The fused in-graph drivers "
+                "(parallel.batch, --chunk) support coarse_to_fine only."
+            )
+        if config.candidate_selector != "coarse_to_fine":
+            raise ValueError(
+                f"unknown candidate_selector {config.candidate_selector!r}"
+            )
+        sqn = [gradient_ops.squared_norm(gx, gy) for gx, gy in grads]
+        finest_mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
 
     id0 = idepth_mod.masked(
         idepth_mod.from_depth(config.depth_scale, depth_map, config.idepth_variance),
@@ -765,9 +800,35 @@ class Tracker:
         self._pyramid = jax.jit(
             lambda img: pyramid_ops.mean_pyramid(config.nb_levels, img)
         )
-        self._precompute = jax.jit(
-            lambda depth, pyr: precompute_keyframe(config, intrinsics, depth, pyr)
-        )
+        if config.candidate_selector == "dso":
+            # DSO selection (dso.rs:98-147): jitted gradient-norm stage,
+            # host-side block-size recursion (core.candidates.dso.select —
+            # each block size is a cached statically-shaped jit), then the
+            # jitted precompute consuming the resulting level-0 mask
+            self._grad_norm = jax.jit(gradient_ops.norm_direct)
+            self._precompute_masked = jax.jit(
+                lambda depth, pyr, mask: precompute_keyframe(
+                    config, intrinsics, depth, pyr, finest_mask=mask
+                )
+            )
+
+            def _precompute(depth, pyr):
+                from ..core.candidates import dso as dso_mod
+
+                mask = dso_mod.select(
+                    self._grad_norm(pyr[0]), config.dso_target,
+                    region_config=dso_mod.RegionConfig(
+                        threshold_coef_a=config.dso_threshold_coef_a,
+                        threshold_coef_b=config.dso_threshold_coef_b,
+                    ),
+                )
+                return self._precompute_masked(depth, pyr, mask)
+
+            self._precompute = _precompute
+        else:
+            self._precompute = jax.jit(
+                lambda depth, pyr: precompute_keyframe(config, intrinsics, depth, pyr)
+            )
         # One fused jit per frame: pyramid + 6-level LM + pose bookkeeping.
         # Everything stays on-device; the only host sync per frame is the
         # single (2,) diagnostics fetch in ``track`` (critical over remote

@@ -307,6 +307,122 @@ def load_sliding_window(path: str, sw) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Batched multi-sequence checkpoint/resume (vors_batch — the scaled serving
+# CLI; SURVEY §5: restartability matters most for the long-running modes)
+# ---------------------------------------------------------------------------
+
+
+def batch_fingerprint(config, intrinsics, switch_cadence: int) -> str:
+    """Stable hash of everything that determines the batched serving loop's
+    state evolution: tracker config, intrinsics, and the switch cadence
+    (cadence changes WHICH frames lanes switch keyframes on, so resuming
+    under a different cadence silently changes semantics mid-sequence).
+    ``switch_subbatch`` is deliberately NOT part of the fingerprint: it is a
+    numerics-equivalent implementation choice (docs/PERF.md), like
+    ``interp_method='auto'`` resolution."""
+    payload = {
+        "config": dataclasses.asdict(config),
+        "intrinsics": [
+            float(np.asarray(v)) for v in (intrinsics.cx, intrinsics.cy,
+                                           intrinsics.fx, intrinsics.fy,
+                                           intrinsics.skew)
+        ],
+        "switch_cadence": int(switch_cadence),
+    }
+    blob = json.dumps(payload, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def save_batch(
+    path: str, state, pending, ring, frames_done: int,
+    config, intrinsics, switch_cadence: int, lane_timestamps,
+) -> None:
+    """Checkpoint ``vors_batch``'s serving state mid-run.
+
+    ``state``: the batched ``parallel.batch.TrackState``; ``pending``: the
+    (B,) cadence carry mask; ``ring``: the ``RelocRing`` or ``None``;
+    ``frames_done``: the global frame index the next chunk starts at (the
+    cadence-phase carry, fed back as ``frame_offset``); ``lane_timestamps``:
+    per lane, the depth timestamps of the associations CONSUMED so far
+    (including frame 0) — the per-lane sequence binding ``sequence_matches``
+    checks on resume."""
+    tree = {"state": state, "pending": pending}
+    if ring is not None:
+        tree["ring"] = ring
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "batch",
+        "config_fingerprint": batch_fingerprint(config, intrinsics, switch_cadence),
+        "frames_done": int(frames_done),
+        "has_ring": ring is not None,
+        "lane_timestamps": [
+            [float(t) for t in ts] for ts in lane_timestamps
+        ],
+    }
+    save_pytree(path, tree, meta)
+
+
+def load_batch(
+    path: str, state_template, ring_template,
+    config, intrinsics, switch_cadence: int,
+):
+    """Restore a ``save_batch`` checkpoint.
+
+    ``state_template``/``ring_template`` supply the pytree structure (build
+    them with ``batched_init_state``/``batched_init_ring`` on the live
+    inputs; ``ring_template=None`` when relocalization is off).  Returns
+    ``(state, pending, ring_or_None, frames_done, lane_timestamps)``.
+    Raises ``CheckpointMismatchError`` on format/fingerprint mismatch or
+    when the checkpoint's relocalization-ring presence disagrees with the
+    live configuration."""
+    raw = np.load(path)
+    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    version = meta.get("format_version")
+    if version != FORMAT_VERSION or meta.get("kind") != "batch":
+        raise CheckpointMismatchError(
+            f"not a v{FORMAT_VERSION} batch checkpoint "
+            f"(version {version!r}, kind {meta.get('kind')!r}): {path}"
+        )
+    expected = batch_fingerprint(config, intrinsics, switch_cadence)
+    found = meta.get("config_fingerprint")
+    if found != expected:
+        raise CheckpointMismatchError(
+            f"checkpoint fingerprint {found!r} does not match the live batch "
+            f"config's {expected!r} (config/intrinsics/--switch-cadence must "
+            f"all match) — refusing to resume ({path})"
+        )
+    if meta.get("has_ring") != (ring_template is not None):
+        raise CheckpointMismatchError(
+            "checkpoint relocalization-ring presence "
+            f"({meta.get('has_ring')}) does not match the live --relocalize "
+            f"setting ({ring_template is not None}) ({path})"
+        )
+    import jax.numpy as jnp
+
+    template = {
+        "state": state_template,
+        "pending": jnp.zeros((0,), bool),
+    }
+    if ring_template is not None:
+        template["ring"] = ring_template
+    tree, _ = load_pytree(path, template)
+    B_live = state_template.keyframe_pose.q.shape[0]
+    B_saved = tree["state"].keyframe_pose.q.shape[0]
+    if B_saved != B_live:
+        raise CheckpointMismatchError(
+            f"checkpoint batch size {B_saved} != live batch size {B_live} "
+            f"({path})"
+        )
+    return (
+        tree["state"],
+        tree["pending"],
+        tree.get("ring"),
+        meta["frames_done"],
+        [list(ts) for ts in meta["lane_timestamps"]],
+    )
+
+
+# ---------------------------------------------------------------------------
 # SLAM pipeline checkpoint/resume (vors_slam phase 1: tracking + keyframe
 # store — the long-running part; loop closure + PGO run at the end)
 # ---------------------------------------------------------------------------
@@ -317,7 +433,12 @@ def save_slam(
     frames_done: int,
 ) -> None:
     """Checkpoint vors_slam's tracking phase: tracker state + trajectory so
-    far + the keyframe image store loop closure needs later."""
+    far + (optionally) the keyframe image store loop closure needs later.
+
+    ``kf_images=None`` omits the keyframe images — the bounded-memory mode:
+    keyframe images are re-decodable from the dataset on disk (the resume
+    already binds to the exact association file via ``sequence_matches``),
+    so storing them only inflates the checkpoint O(keyframes x image)."""
     import jax.numpy as jnp
 
     state = {
@@ -326,9 +447,14 @@ def save_slam(
         "current_pose": tracker.current_pose,
         "traj_q": jnp.stack([p.q for p in trajectory]),
         "traj_t": jnp.stack([p.t for p in trajectory]),
-        "kf_depths": np.stack([np.asarray(kf_images[i][0]) for i in keyframe_ids]),
-        "kf_grays": np.stack([np.asarray(kf_images[i][1]) for i in keyframe_ids]),
     }
+    if kf_images is not None:
+        state["kf_depths"] = np.stack(
+            [np.asarray(kf_images[i][0]) for i in keyframe_ids]
+        )
+        state["kf_grays"] = np.stack(
+            [np.asarray(kf_images[i][1]) for i in keyframe_ids]
+        )
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "slam",
@@ -341,6 +467,7 @@ def save_slam(
         "timestamps": [float(t) for t in timestamps],
         "keyframe_ids": list(map(int, keyframe_ids)),
         "frames_done": frames_done,
+        "has_kf_images": kf_images is not None,
     }
     save_pytree(path, state, meta)
 
@@ -369,15 +496,17 @@ def load_slam(path: str, tracker):
             f"checkpoint config fingerprint {found!r} does not match the "
             f"live tracker's {expected!r} ({path})"
         )
+    has_kf = meta.get("has_kf_images", True)  # pre-round-4 checkpoints: yes
     template = {
         "keyframe_data": tracker.keyframe_data,
         "keyframe_pose": tracker.keyframe_pose,
         "current_pose": tracker.current_pose,
         "traj_q": 0.0,
         "traj_t": 0.0,
-        "kf_depths": 0.0,
-        "kf_grays": 0.0,
     }
+    if has_kf:
+        template["kf_depths"] = 0.0
+        template["kf_grays"] = 0.0
     state, _ = load_pytree(path, template)
     tracker.keyframe_data = state["keyframe_data"]
     tracker.keyframe_pose = state["keyframe_pose"]
@@ -393,10 +522,14 @@ def load_slam(path: str, tracker):
         for i in range(state["traj_q"].shape[0])
     ]
     keyframe_ids = list(meta["keyframe_ids"])
-    kf_images = {
-        fid: (np.asarray(state["kf_depths"][k]), np.asarray(state["kf_grays"][k]))
-        for k, fid in enumerate(keyframe_ids)
-    }
+    kf_images = (
+        {
+            fid: (np.asarray(state["kf_depths"][k]), np.asarray(state["kf_grays"][k]))
+            for k, fid in enumerate(keyframe_ids)
+        }
+        if has_kf
+        else None  # bounded mode: re-decode from the dataset on demand
+    )
     return (
         trajectory, list(meta["timestamps"]), keyframe_ids, kf_images,
         meta["frames_done"],
