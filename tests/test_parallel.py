@@ -756,3 +756,179 @@ def test_batched_relocalization_sharded_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(ring_s.count), np.asarray(ring_u.count)
     )
+
+
+def test_batched_relocalization_full_crossproduct():
+    """RelocRing x switch_cadence=3 x switch_subbatch=2 x robust+brightness
+    on the 8-device mesh (VERDICT round-3 item 2: the recovery layer at its
+    full option cross-product, not just the plain cadence-1 configuration).
+
+    The kidnapped lane is engineered so its flow PENDS before a check frame
+    and the kidnap jump lands ON that check frame — the exact pending/lost
+    interaction called out in the round-3 review.  A lost frame must never
+    become the map anchor: the pending switch is DEFERRED past the lost
+    check (it must not switch to the lost frame, nor write it into the
+    ring), recovery re-anchors on the matching ring keyframe in the same
+    step, and the deferred switch fires at the next healthy check.
+    Healthy lanes must match their ring-free, subbatch-free, unsharded runs
+    lane-by-lane; the kidnapped lane must recover to ground truth.
+    """
+    B, F = 8, 12
+    # checks at (t+1) % 3 == 0 -> scan steps t = 2, 5, 8, 11.
+    # kid lane: steady over-threshold flow -> switches at t=2 (ring
+    # keyframe K1 at pose 3s) and t=5 (K2 at 6s, becomes current keyframe);
+    # pends again by t=7; the t=8 check frame jumps BACK to exactly K1's
+    # pose (-5s; equal-step twists commute, so exp(s)^-5 == exp(-5s)): far
+    # from K2 -> lost, near K1 -> recovery verifies.  Small motion after;
+    # the deferred pending switch fires at the t=11 check.  (Step size
+    # 0.3x the kidnap test's: large steps mistrack on this scene, and THIS
+    # test asserts mid-run accuracy, not just tail recovery.)
+    step = 0.3 * np.asarray([0.09, 0.01, 0.005, 0.0, 0.06, 0.0])
+    small = [0.008, 0.002, 0.001, 0.0, 0.004, 0.0]
+    kid_jump = list(-5.0 * step)
+    twists_kid = np.asarray(
+        [list(step)] * 8 + [kid_jump] + [small] * 3, np.float32
+    )
+    seqs = [
+        synthetic.generate_sequence(
+            nb_frames=F + 1, height=120, width=160, seed=23,
+            twist_per_frame=twists_kid,
+        )
+    ]
+    for b in range(1, B):
+        seqs.append(synthetic.generate_sequence(
+            nb_frames=F + 1, height=120, width=160, seed=70 + b,
+            motion_scale=0.012, rot_scale=0.004,
+        ))
+    intr = seqs[0].intrinsics
+    kw = dict(
+        height=120, width=160, nb_levels=3, candidate_cap=1024,
+        interp_method="gather", depth_scale=5000.0,
+        robust_delta=20.0, brightness_model=True,
+    )
+    cfg_on = tracker_mod.TrackerConfig(
+        relocalize_window=3, relocalize_energy_accept=150.0, **kw
+    )
+    cfg_off = tracker_mod.TrackerConfig(**kw)
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs])
+    clip_d = jnp.stack([
+        jnp.stack([jnp.asarray(s.depths[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    clip_g = jnp.stack([
+        jnp.stack([jnp.asarray(s.grays[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+
+    # full-fat run: ring + cadence 3 + subbatch 2, sharded over the mesh
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = batch_mod.batched_init_state(cfg_on, intr, d0, g0)
+    ring = batch_mod.batched_init_ring(cfg_on, state)
+    state = mesh_mod.shard_batch(state, mesh)
+    ring = mesh_mod.shard_batch(ring, mesh)
+    sh = NamedSharding(mesh, P(None, "data"))
+    final, (poses, diags), ring_out = batch_mod.batched_track_sequence(
+        cfg_on, intr, state, jax.device_put(clip_d, sh),
+        jax.device_put(clip_g, sh), switch_cadence=3, switch_subbatch=2,
+        reloc_ring=ring,
+    )
+    reloc = np.asarray(diags.relocalized)  # (F, B)
+    switched = np.asarray(diags.switched)
+    assert reloc[:, 0].any(), "kidnapped lane must relocalize"
+    assert not reloc[:, 1:].any(), "healthy lanes must not relocalize"
+    # the engineered pending/lost collision: the kid lane had switched
+    # before the kidnap (ring keyframes exist), was pending at the t=8
+    # lost check, did NOT anchor on the lost frame (deferred), relocalized
+    # in the same step, and the deferred switch fired at the t=11 check
+    assert switched[2, 0] and switched[5, 0], switched[:, 0]
+    assert reloc[8, 0] and not switched[8, 0], (switched[:, 0], reloc[:, 0])
+    assert switched[11, 0], switched[:, 0]
+    # kidnapped lane stays accurate mid-run AND through the recovery
+    for f in (1, 5, 8, F - 2, F - 1):
+        err = float(np.linalg.norm(
+            np.asarray(poses.t[f, 0]) - np.asarray(seqs[0].poses[f + 1].t)
+        ))
+        assert err < 0.03, (f, err)
+
+    # healthy lanes match the ring-free / subbatch-free / unsharded run at
+    # the same cadence (recovery and compaction must not perturb them)
+    state0 = batch_mod.batched_init_state(cfg_off, intr, d0, g0)
+    _, (poses0, diags0) = batch_mod.batched_track_sequence(
+        cfg_off, intr, state0, clip_d, clip_g, switch_cadence=3
+    )
+    np.testing.assert_array_equal(
+        switched[:, 1:], np.asarray(diags0.switched)[:, 1:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses.t[:, 1:]), np.asarray(poses0.t)[:, 1:], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses.q[:, 1:]), np.asarray(poses0.q)[:, 1:], atol=1e-4
+    )
+
+
+def test_fused_scan_production_shape_soak():
+    """Production-operating-point soak on the 8-device CPU mesh (VERDICT
+    round-3 item 7): the fused batched scan at 640x480 / 6 levels /
+    cap 4096, B=8, with forced switching + sub-batch compaction + the
+    relocalization ring, sharded over the mesh.  Big shapes otherwise run
+    only inside TPU benches, so shape/memory/layout bugs at the operating
+    point `bench.py` claims would be invisible to CI.  ~2-6 min on the
+    1-core test box (compile-dominated)."""
+    B, F = 8, 4
+    h, w = 480, 640
+    seqs = [
+        synthetic.generate_sequence(
+            nb_frames=F + 1, height=h, width=w, seed=90 + b,
+            motion_scale=0.008 + 0.002 * b, rot_scale=0.002,
+        )
+        for b in range(B)
+    ]
+    intr = seqs[0].intrinsics
+    config = tracker_mod.TrackerConfig(
+        height=h, width=w, nb_levels=6, candidate_cap=4096,
+        # force every lane to pend every frame: every check frame takes the
+        # recompute path (and with 8 > subbatch lanes pending, the overflow
+        # all-lanes branch too — both compaction branches compile and run)
+        flow_threshold=0.01,
+        relocalize_window=2,
+    )
+    d0 = jnp.stack([jnp.asarray(s.depths[0]) for s in seqs])
+    g0 = jnp.stack([jnp.asarray(s.grays[0]) for s in seqs])
+    clip_d = jnp.stack([
+        jnp.stack([jnp.asarray(s.depths[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    clip_g = jnp.stack([
+        jnp.stack([jnp.asarray(s.grays[i]) for s in seqs])
+        for i in range(1, F + 1)
+    ])
+    mesh = mesh_mod.make_mesh((8,), ("data",))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = batch_mod.batched_init_state(config, intr, d0, g0)
+    ring = batch_mod.batched_init_ring(config, state)
+    state = mesh_mod.shard_batch(state, mesh)
+    ring = mesh_mod.shard_batch(ring, mesh)
+    sh = NamedSharding(mesh, P(None, "data"))
+    final, (poses, diags), ring_out = batch_mod.batched_track_sequence(
+        config, intr, state, jax.device_put(clip_d, sh),
+        jax.device_put(clip_g, sh), switch_cadence=2, switch_subbatch=2,
+        reloc_ring=ring,
+    )
+    switched = np.asarray(diags.switched)
+    assert switched[1].all() and switched[3].all()  # checks at t=1,3
+    assert not switched[0].any() and not switched[2].any()
+    assert np.isfinite(np.asarray(poses.t)).all()
+    assert np.isfinite(np.asarray(poses.q)).all()
+    # forced per-check switching keeps tracking healthy at full resolution
+    for b in range(B):
+        err = float(np.linalg.norm(
+            np.asarray(poses.t[-1, b]) - np.asarray(seqs[b].poses[F].t)
+        ))
+        assert err < 0.05, (b, err)
+    # the ring recorded the switches (slots filled up to R)
+    assert int(np.asarray(ring_out.count).min()) >= 2

@@ -420,10 +420,18 @@ def _lazy_switch_step(
         switch_now = jnp.logical_and(switch_now, ~lost)
     if pending is None:
         pending_all = switch_now
-        check = jnp.any(switch_now)
     else:
         pending_all = jnp.logical_or(pending, switch_now)
-        check = jnp.logical_and(do_check, jnp.any(pending_all))
+    # Lanes that pended on an EARLIER frame but are lost on THIS check frame
+    # must not switch either — otherwise the lost frame becomes the map
+    # anchor (and, worse, gets written into the RelocRing the recovery then
+    # trivially "verifies" against).  They stay pending and switch on the
+    # next check where they are healthy (typically right after recovery).
+    switch_mask = jnp.logical_and(pending_all, ~lost) if reloc_on else pending_all
+    if pending is None:
+        check = jnp.any(switch_mask)
+    else:
+        check = jnp.logical_and(do_check, jnp.any(switch_mask))
 
     def _maybe_ring_write(ring_in, switched_mask, kf_new):
         if not reloc_on:
@@ -444,16 +452,17 @@ def _lazy_switch_step(
             )
         )(depth, *pyrs)
         kf = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
+            lambda new, old: jnp.where(bcast(switch_mask, new), new, old),
             new_kf, kf_old,
         )
         kfp = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
+            lambda new, old: jnp.where(bcast(switch_mask, new), new, old),
             new_current,
             kf_pose_old,
         )
-        ring_out = _maybe_ring_write(ring_in, pending_all, kf)
-        return kf, kfp, jnp.zeros_like(pending_all), pending_all, ring_out
+        ring_out = _maybe_ring_write(ring_in, switch_mask, kf)
+        deferred = jnp.logical_and(pending_all, ~switch_mask)
+        return kf, kfp, deferred, switch_mask, ring_out
 
     def recompute_sub(kf_old, kf_pose_old, ring_in):
         # Sub-batch switch compaction: the precompute's cost scales with the
@@ -466,7 +475,7 @@ def _lazy_switch_step(
         # so semantics are IDENTICAL to the all-lanes recompute — lanes never
         # wait.  Overflow frames (count > K) take the all-lanes branch.
         k_sub = switch_subbatch
-        sel = _lane_onehot(pending_all, k_sub)  # (K, B)
+        sel = _lane_onehot(switch_mask, k_sub)  # (K, B)
         sub_depth = _onehot_rows(sel, depth)
         sub_pyrs = [_onehot_rows(sel, p) for p in pyrs]
         sub_kf = jax.vmap(
@@ -474,21 +483,22 @@ def _lazy_switch_step(
                 config, intrinsics, d1, list(p)
             )
         )(sub_depth, *sub_pyrs)
-        sel_t = sel.T  # (B, K): one nonzero for pending lanes, zero rows else
+        sel_t = sel.T  # (B, K): one nonzero for switching lanes, zero rows else
         kf = jax.tree_util.tree_map(
             lambda new, old: jnp.where(
-                bcast(pending_all, old), _onehot_rows(sel_t, new), old
+                bcast(switch_mask, old), _onehot_rows(sel_t, new), old
             ),
             sub_kf,
             kf_old,
         )
         kfp = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(bcast(pending_all, new), new, old),
+            lambda new, old: jnp.where(bcast(switch_mask, new), new, old),
             new_current,
             kf_pose_old,
         )
-        ring_out = _maybe_ring_write(ring_in, pending_all, kf)
-        return kf, kfp, jnp.zeros_like(pending_all), pending_all, ring_out
+        ring_out = _maybe_ring_write(ring_in, switch_mask, kf)
+        deferred = jnp.logical_and(pending_all, ~switch_mask)
+        return kf, kfp, deferred, switch_mask, ring_out
 
     def keep(kf_old, kf_pose_old, ring_in):
         return (
@@ -498,7 +508,7 @@ def _lazy_switch_step(
 
     ring_arg = ring if reloc_on else 0
     if batched and 0 < switch_subbatch < pending_all.shape[0]:
-        n_pending = jnp.sum(pending_all.astype(jnp.int32))
+        n_pending = jnp.sum(switch_mask.astype(jnp.int32))
 
         def recompute_dispatch(kf_old, kf_pose_old, ring_in):
             return jax.lax.cond(
