@@ -28,7 +28,7 @@ metric name per methodology — never compare across keys):
   fps_scan_b32_diverse . fused scan, 32 diverse lanes, all-lanes precompute
   fps_scan_b32_diverse_subbatch8 . same semantics, sub-batch switch-lane
       compaction (switch_subbatch=8 = B/4, the measured TPU optimum of the
-      round-3 K sweep in docs/PERF.md: only the pending lanes precompute,
+      K sweep recorded in docs/PERF.md: only the pending lanes precompute,
       compacted into a fixed 8-lane sub-batch; >8 pending falls back to
       all-lanes — reference-exact cadence-1 switching either way.  Rounds
       1-3 briefly reported a subbatch4 key; K=4 predates the sweep and
