@@ -28,30 +28,52 @@ def _prune_block(thresh, a, b, c, d):
     Returns 4 boolean maps (one per block corner).  Ties are broken by corner
     order a < b < c < d (the reference's unstable sort of equal keys is
     order-indeterminate; we fix a deterministic order).
+
+    Round-4 formulation: a 6-comparator tournament + a 10-op min/max sorting
+    network on the four (H/2, W/2) maps directly.  The previous version
+    materialized (4, 4, H/2, W/2) pairwise ``beats`` tensors plus a lane
+    sort — the keyframe precompute is dispatch/bandwidth-bound on exactly
+    such image-sized intermediates (docs/PERF.md round-4 breakdown), and
+    this is numerically identical with ~4x fewer map-sized operations.
     """
-    vals = jnp.stack([a, b, c, d]).astype(jnp.int32)
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    c = c.astype(jnp.int32)
+    d = d.astype(jnp.int32)
 
-    # rank[i] = number of corners strictly greater, with index tie-break:
-    # corner j beats corner i if val_j > val_i, or equal and j < i.
-    gt = (vals[:, None] > vals[None, :]).astype(jnp.int32)
-    idx = jnp.arange(4)
-    tie = jnp.logical_and(
-        vals[:, None] == vals[None, :], (idx[:, None] < idx[None, :])[..., None, None]
-    ).astype(jnp.int32)
-    beats = gt + tie  # beats[j, i] = 1 if corner j ranks above corner i
-    rank = jnp.sum(beats, axis=0)  # 0 = largest
+    # pairwise "earlier corner beats on >=, later needs >" (the index
+    # tie-break of the reference-fixed deterministic order)
+    ab = a >= b
+    ac = a >= c
+    ad = a >= d
+    bc = b >= c
+    bd = b >= d
+    cd = c >= d
 
-    first = rank == 0
-    second = rank == 1
+    def i(x):
+        return x.astype(jnp.int32)
 
-    # second kept only if strictly above third + thresh (values, not ranks).
-    sorted_vals = jnp.sort(vals, axis=0)  # ascending
-    second_val = sorted_vals[2]
-    third_val = sorted_vals[1]
+    # rank = number of corners that beat this one (0 = largest)
+    r_a = i(~ab) + i(~ac) + i(~ad)
+    r_b = i(ab) + i(~bc) + i(~bd)
+    r_c = i(ac) + i(bc) + i(~cd)
+    r_d = i(ad) + i(bd) + i(cd)
+
+    # second/third VALUES via a 4-element min/max sorting network
+    s1 = jnp.maximum(a, b)
+    t1 = jnp.minimum(a, b)
+    s2 = jnp.maximum(c, d)
+    t2 = jnp.minimum(c, d)
+    mid1 = jnp.minimum(s1, s2)
+    mid2 = jnp.maximum(t1, t2)
+    second_val = jnp.maximum(mid1, mid2)
+    third_val = jnp.minimum(mid1, mid2)
     keep_second = second_val > third_val + jnp.asarray(thresh, jnp.int32)
 
-    keep = jnp.logical_or(first, jnp.logical_and(second, keep_second[None]))
-    return keep[0], keep[1], keep[2], keep[3]
+    def keep(r):
+        return jnp.logical_or(r == 0, jnp.logical_and(r == 1, keep_second))
+
+    return keep(r_a), keep(r_b), keep(r_c), keep(r_d)
 
 
 def _merge_block_masks(ka, kb, kc, kd):

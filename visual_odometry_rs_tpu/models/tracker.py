@@ -318,19 +318,6 @@ def _extract_level_onehot(
     r = s - off_ex  # 0-based rank within the chunk
     j_nat_i = j_nat.astype(jnp.int32)
     onehot_nat = (iota_c[None, :] == j_nat_i[:, None])  # (cap, C) bool
-
-    lrow = jnp.dot(onehot_nat.astype(jnp.bfloat16), lrank.astype(jnp.bfloat16),
-                   preferred_element_type=Float)  # (cap, m) exact
-    lrow_shift = jnp.concatenate([jnp.zeros((cap, 1), Float), lrow[:, :-1]], axis=1)
-    # first position where the inclusive rank reaches r+1
-    sel = jnp.logical_and(lrow == r[:, None] + 1.0, lrow_shift == r[:, None])
-    iota_m = jax.lax.iota(jnp.int32, m)
-    p_local = jnp.sum(jnp.where(sel, iota_m[None, :], 0), axis=1)
-    idx = jnp.where(valid, j_nat_i * m + p_local, 0)
-    ys = jax.lax.div(idx, jnp.int32(w))
-    xs = jax.lax.rem(idx, jnp.int32(w))
-
-    self_f = sel.astype(Float)
     # ALL channel gathers ride ONE bf16 MXU pass: small-int channels are
     # exact in bf16 directly, and the inverse depth rides as u8 byte planes
     # (each exact in bf16) — ~4x cheaper than a separate Precision.HIGHEST
@@ -355,14 +342,32 @@ def _extract_level_onehot(
             ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
         ]
     nz = len(z_bytes)
+    # the within-chunk rank row (lrank, integers <= m: exact in bf16) rides
+    # as one more "channel" of the single one-hot matmul — folding the
+    # former separate (cap, C) x (C, m) lrow pass into this one saves a
+    # full read of the big one-hot per level (measured in
+    # tools/ab_extract_variants.py)
     chans = jnp.concatenate(
         [flat_pad(gx, 0).astype(jnp.bfloat16),
          flat_pad(gy, 0).astype(jnp.bfloat16),
-         flat_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes,
+         flat_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes
+        + [lrank.astype(jnp.bfloat16)],
         axis=1,
-    )  # (C, (3+nz) m)
+    )  # (C, (4+nz) m)
     rows = jnp.dot(onehot_nat.astype(jnp.bfloat16), chans,
-                   preferred_element_type=Float)  # (cap, (3+nz) m)
+                   preferred_element_type=Float)  # (cap, (4+nz) m)
+
+    lrow = rows[:, (3 + nz) * m : (4 + nz) * m]  # (cap, m) exact
+    lrow_shift = jnp.concatenate([jnp.zeros((cap, 1), Float), lrow[:, :-1]], axis=1)
+    # first position where the inclusive rank reaches r+1
+    sel = jnp.logical_and(lrow == r[:, None] + 1.0, lrow_shift == r[:, None])
+    iota_m = jax.lax.iota(jnp.int32, m)
+    p_local = jnp.sum(jnp.where(sel, iota_m[None, :], 0), axis=1)
+    idx = jnp.where(valid, j_nat_i * m + p_local, 0)
+    ys = jax.lax.div(idx, jnp.int32(w))
+    xs = jax.lax.rem(idx, jnp.int32(w))
+
+    self_f = sel.astype(Float)
 
     def pick(k):
         return jnp.sum(rows[:, k * m : (k + 1) * m] * self_f, axis=1)
