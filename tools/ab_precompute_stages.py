@@ -58,7 +58,14 @@ def honest_ms(fn, depth, pyrs, n=N_ITER):
 
     def body(carry, _):
         c = feedback(carry)
-        p2 = [p + c for p in pyrs]
+        # dtype-preserving data dependency: xor with (c != c) — always 0,
+        # but XLA cannot prove c is non-NaN, so nothing folds or hoists
+        flag = (c != c).astype(jnp.uint8)
+        p2 = [
+            jnp.bitwise_xor(p, flag.astype(p.dtype))
+            if jnp.issubdtype(p.dtype, jnp.integer) else p + c
+            for p in pyrs
+        ]
         return fn(depth, p2), None
 
     run = jax.jit(
@@ -81,9 +88,17 @@ def main() -> int:
     intr_levels = camera_mod.multi_res(intr, nb)
     caps = config.level_caps()
 
+    def stage_grads_only(depth, pyr):
+        return tracker_mod._keyframe_gradients(pyr)
+
+    def stage_grad_sqn(depth, pyr):
+        grads = tracker_mod._keyframe_gradients(pyr)
+        sqn = [gradient_ops.squared_norm_f32(gx, gy) for gx, gy in grads]
+        return grads, sqn
+
     def stage_grad_select(depth, pyr):
         grads = tracker_mod._keyframe_gradients(pyr)
-        sqn = [gradient_ops.squared_norm(gx, gy) for gx, gy in grads]
+        sqn = [gradient_ops.squared_norm_f32(gx, gy) for gx, gy in grads]
         mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
         return grads, mask
 
@@ -114,6 +129,8 @@ def main() -> int:
         return tracker_mod.precompute_keyframe(config, intr, depth, pyr)
 
     stages = [
+        ("grads_only", stage_grads_only),
+        ("grad_sqn", stage_grad_sqn),
         ("grad_select", stage_grad_select),
         ("idepth_pyr", stage_idepth),
         ("extract", stage_extract),

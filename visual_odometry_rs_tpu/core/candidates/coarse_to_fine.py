@@ -36,10 +36,12 @@ def _prune_block(thresh, a, b, c, d):
     such image-sized intermediates (docs/PERF.md round-4 breakdown), and
     this is numerically identical with ~4x fewer map-sized operations.
     """
-    a = a.astype(jnp.int32)
-    b = b.astype(jnp.int32)
-    c = c.astype(jnp.int32)
-    d = d.astype(jnp.int32)
+    # integer inputs promote to i32 (u16 sqn from the public gradient API);
+    # f32 carriers (exact integer values, the precompute's internal
+    # pipeline) compare as-is — same results, native VPU arithmetic
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        a, b, c, d = (x.astype(jnp.int32) for x in (a, b, c, d))
+    cmp_dtype = a.dtype
 
     # pairwise "earlier corner beats on >=, later needs >" (the index
     # tie-break of the reference-fixed deterministic order)
@@ -68,7 +70,7 @@ def _prune_block(thresh, a, b, c, d):
     mid2 = jnp.maximum(t1, t2)
     second_val = jnp.maximum(mid1, mid2)
     third_val = jnp.minimum(mid1, mid2)
-    keep_second = second_val > third_val + jnp.asarray(thresh, jnp.int32)
+    keep_second = second_val > third_val + jnp.asarray(thresh, cmp_dtype)
 
     def keep(r):
         return jnp.logical_or(r == 0, jnp.logical_and(r == 1, keep_second))
@@ -79,19 +81,38 @@ def _prune_block(thresh, a, b, c, d):
 def _merge_block_masks(ka, kb, kc, kd):
     """Reassemble 4 corner masks (H/2, W/2) into a full-res mask (H, W).
 
-    STATIC strided ``.at[::2].set`` updates are constant-index slice
-    updates, not dynamic scatters — measured 2.4x FASTER than a
-    stack+reshape interleave in the batched select (4.5 vs 11 ms at batch
-    32; the interleave forces layout transposes).  Only *dynamic*-index
-    gathers/scatters carry the big in-context penalty (docs/PERF.md).
+    Formulation history (batched select, B=32, measured): a stack+reshape
+    interleave forces layout transposes (11 ms); four static strided
+    ``.at[::2].set`` updates were 2.4x faster (4.5 ms); the current
+    broadcast-upsample + constant-phase-mask select fuses into one
+    elementwise kernel — each corner upsamples by a layout-friendly
+    (h2, 2, w2, 2) broadcast-reshape (row-major compatible: no transpose)
+    and constant parity masks pick the right corner per pixel.
     """
     h2, w2 = ka.shape[-2:]
-    out = jnp.zeros((*ka.shape[:-2], 2 * h2, 2 * w2), dtype=bool)
-    out = out.at[..., 0::2, 0::2].set(ka)
-    out = out.at[..., 1::2, 0::2].set(kb)
-    out = out.at[..., 0::2, 1::2].set(kc)
-    out = out.at[..., 1::2, 1::2].set(kd)
-    return out
+    lead = ka.shape[:-2]
+
+    def up(x):
+        # (.., h2, w2) -> (.., h2, 1, w2, 1) -> broadcast (.., h2, 2, w2, 2)
+        # -> reshape (.., 2h2, 2w2): pure broadcast + row-major reshape
+        xb = jnp.broadcast_to(
+            x[..., :, None, :, None], (*lead, h2, 2, w2, 2)
+        )
+        return xb.reshape(*lead, 2 * h2, 2 * w2)
+
+    row_odd = (jnp.arange(2 * h2) % 2 == 1)[:, None]
+    col_odd = (jnp.arange(2 * w2) % 2 == 1)[None, :]
+    # corner layout: [[a, c], [b, d]] (a=even/even, b=odd row, c=odd col)
+    even_even = jnp.logical_and(~row_odd, ~col_odd)
+    odd_even = jnp.logical_and(row_odd, ~col_odd)
+    even_odd = jnp.logical_and(~row_odd, col_odd)
+    odd_odd = jnp.logical_and(row_odd, col_odd)
+    return (
+        (up(ka) & even_even)
+        | (up(kb) & odd_even)
+        | (up(kc) & even_odd)
+        | (up(kd) & odd_odd)
+    )
 
 
 def select(diff_threshold, gradient_sq_levels: List[jnp.ndarray]) -> List[jnp.ndarray]:

@@ -181,9 +181,13 @@ def warp_jacobian(gu, gv, u, v, idepth, k: Intrinsics) -> jnp.ndarray:
 
 def _keyframe_gradients(img_pyramid: List[jnp.ndarray]):
     """Per-level (gx, gy): centered at level 0, 2x2-block for levels >= 1
-    (inverse_compositional.rs:111-117)."""
-    grads = [gradient_ops.centered(img_pyramid[0])]
-    grads.extend(gradient_ops.gradients_xy(img_pyramid))
+    (inverse_compositional.rs:111-117).
+
+    f32 carriers with exact integer values (docs/PERF.md round 4: the TPU
+    VPU emulates i16/i32 arithmetic; the same math in f32 is bit-exact for
+    these < 2^24 integer ranges and measurably cheaper)."""
+    grads = [gradient_ops.centered_f32(img_pyramid[0])]
+    grads.extend(gradient_ops.gradients_xy_f32(img_pyramid))
     return grads
 
 
@@ -292,15 +296,21 @@ def _extract_level_onehot(
             f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
         return f.reshape(n_chunks, m)
 
-    known_cm = flat_pad(idmap.known, False)
-    x = known_cm.astype(jnp.bfloat16)
+    chunk_perm = jnp.asarray(_bit_reversal_order(n_chunks))  # static visit order
+
+    def visit_pad(a, fill):
+        # (C, m) chunk layout PERMUTED to visit order: every per-chunk array
+        # below lives in visit space, so ONE one-hot serves both the slot
+        # location and the channel gathers (the former separate natural-
+        # order one-hot and its two Precision.HIGHEST matvecs are gone)
+        return flat_pad(a, fill)[chunk_perm]
+
+    known_v = visit_pad(idmap.known, False)
     upper = jnp.triu(jnp.ones((m, m), jnp.bfloat16))
     # inclusive within-chunk ranks; integer values <= 128, exact in bf16
-    lrank = jnp.dot(x, upper, preferred_element_type=Float)  # (C, m)
-    counts = lrank[:, -1]  # (C,)
-
-    chunk_perm = jnp.asarray(_bit_reversal_order(n_chunks))  # static visit order
-    counts_v = counts[chunk_perm]
+    lrank = jnp.dot(known_v.astype(jnp.bfloat16), upper,
+                    preferred_element_type=Float)  # (C, m) visit order
+    counts_v = lrank[:, -1]  # (C,)
     offs_incl = jnp.cumsum(counts_v)  # (C,) f32 exact (< 2^24)
     offs_excl = offs_incl - counts_v
     total = jnp.minimum(offs_incl[-1], jnp.asarray(cap, Float))
@@ -311,13 +321,7 @@ def _extract_level_onehot(
     past = (offs_incl[None, :] <= s[:, None]).astype(jnp.int32)  # (cap, C)
     jv = jnp.minimum(jnp.sum(past, axis=1), n_chunks - 1)
     iota_c = jax.lax.iota(jnp.int32, n_chunks)
-    onehot_v = (iota_c[None, :] == jv[:, None]).astype(Float)  # (cap, C)
-    j_nat = jnp.dot(onehot_v, chunk_perm.astype(Float),
-                    precision=jax.lax.Precision.HIGHEST)
-    off_ex = jnp.dot(onehot_v, offs_excl, precision=jax.lax.Precision.HIGHEST)
-    r = s - off_ex  # 0-based rank within the chunk
-    j_nat_i = j_nat.astype(jnp.int32)
-    onehot_nat = (iota_c[None, :] == j_nat_i[:, None])  # (cap, C) bool
+    onehot = (iota_c[None, :] == jv[:, None])  # (cap, C) bool, visit space
     # ALL channel gathers ride ONE bf16 MXU pass: small-int channels are
     # exact in bf16 directly, and the inverse depth rides as u8 byte planes
     # (each exact in bf16) — ~4x cheaper than a separate Precision.HIGHEST
@@ -329,35 +333,54 @@ def _extract_level_onehot(
     # dominant channel matmul shrinks from 7 to 5 byte planes (level 0 is
     # ~75% of the whole channel-gather cost across the pyramid).
     if depth_u16 is not None:
-        d16 = flat_pad(depth_u16, 0).astype(jnp.uint16)
+        d16 = visit_pad(depth_u16, 0).astype(jnp.uint16)
         z_bytes = [
             (d16 & 0xFF).astype(jnp.bfloat16),
             ((d16 >> 8) & 0xFF).astype(jnp.bfloat16),
         ]
     else:
         z_u32 = jax.lax.bitcast_convert_type(
-            flat_pad(idmap.idepth, 0.0), jnp.uint32
+            visit_pad(idmap.idepth, 0.0), jnp.uint32
         )
         z_bytes = [
             ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
         ]
     nz = len(z_bytes)
-    # the within-chunk rank row (lrank, integers <= m: exact in bf16) rides
-    # as one more "channel" of the single one-hot matmul — folding the
-    # former separate (cap, C) x (C, m) lrow pass into this one saves a
-    # full read of the big one-hot per level (measured in
-    # tools/ab_extract_variants.py)
-    chans = jnp.concatenate(
-        [flat_pad(gx, 0).astype(jnp.bfloat16),
-         flat_pad(gy, 0).astype(jnp.bfloat16),
-         flat_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes
-        + [lrank.astype(jnp.bfloat16)],
+    # EVERYTHING a slot needs rides ONE bf16 MXU pass against the single
+    # visit-space one-hot: the channel bytes, the within-chunk rank row
+    # (lrank, integers <= m: exact in bf16), and five per-chunk location
+    # scalars byte-decomposed so they too are exact in bf16 — the natural
+    # chunk id (j_nat = chunk_perm, < 2^16: 2 bytes) and the exclusive
+    # visit-order offset (< hw <= 2^24: 3 bytes).  One-nonzero-per-row
+    # products make every lane of the matmul exact.
+    perm_f = chunk_perm.astype(Float)
+    loc_cols = jnp.stack(
+        [
+            jnp.floor(perm_f / 256.0),
+            jnp.mod(perm_f, 256.0),
+            jnp.mod(offs_excl, 256.0),
+            jnp.mod(jnp.floor(offs_excl / 256.0), 256.0),
+            jnp.floor(offs_excl / 65536.0),
+        ],
         axis=1,
-    )  # (C, (4+nz) m)
-    rows = jnp.dot(onehot_nat.astype(jnp.bfloat16), chans,
-                   preferred_element_type=Float)  # (cap, (4+nz) m)
+    ).astype(jnp.bfloat16)  # (C, 5)
+    chans = jnp.concatenate(
+        [visit_pad(gx, 0).astype(jnp.bfloat16),
+         visit_pad(gy, 0).astype(jnp.bfloat16),
+         visit_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes
+        + [lrank.astype(jnp.bfloat16), loc_cols],
+        axis=1,
+    )  # (C, (4+nz) m + 5)
+    rows = jnp.dot(onehot.astype(jnp.bfloat16), chans,
+                   preferred_element_type=Float)  # (cap, (4+nz) m + 5)
 
-    lrow = rows[:, (3 + nz) * m : (4 + nz) * m]  # (cap, m) exact
+    base = (3 + nz) * m
+    lrow = rows[:, base : base + m]  # (cap, m) exact
+    loc = rows[:, base + m :]  # (cap, 5)
+    j_nat = loc[:, 0] * 256.0 + loc[:, 1]
+    off_ex = loc[:, 2] + 256.0 * loc[:, 3] + 65536.0 * loc[:, 4]
+    r = s - off_ex  # 0-based rank within the chunk
+    j_nat_i = j_nat.astype(jnp.int32)
     lrow_shift = jnp.concatenate([jnp.zeros((cap, 1), Float), lrow[:, :-1]], axis=1)
     # first position where the inclusive rank reaches r+1
     sel = jnp.logical_and(lrow == r[:, None] + 1.0, lrow_shift == r[:, None])
@@ -424,7 +447,7 @@ def precompute_keyframe(
             raise ValueError(
                 f"unknown candidate_selector {config.candidate_selector!r}"
             )
-        sqn = [gradient_ops.squared_norm(gx, gy) for gx, gy in grads]
+        sqn = [gradient_ops.squared_norm_f32(gx, gy) for gx, gy in grads]
         finest_mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
 
     id0 = idepth_mod.masked(

@@ -109,6 +109,49 @@ def gradients_xy(img_pyramid: List[jnp.ndarray]) -> List[Tuple[jnp.ndarray, jnp.
     return out
 
 
+# f32 internal pipeline (round 4) --------------------------------------------
+#
+# TPU VPUs are f32 machines; the i16/i32 gradient arithmetic above lowers to
+# emulated integer ops.  Every value here is an integer < 2^24, so the same
+# math in f32 is EXACT: differences of u8 pixels are exact, halving is exact
+# (x*0.5 of an integer-valued f32), truncation toward zero (`jnp.trunc`)
+# reproduces Rust integer division bit-for-bit, and squared norms are
+# <= 2*127^2 < 2^24.  The keyframe precompute uses these internally; the
+# public integer functions above keep the reference's exact dtypes.
+
+
+def _trunc_half_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact Rust ``/2`` of an integer-valued f32 array."""
+    return jnp.trunc(x * jnp.float32(0.5))
+
+
+def centered_f32(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``centered`` with f32 carriers (identical integer values)."""
+    im = img.astype(jnp.float32)
+    h, w = img.shape[-2:]
+    gx = jnp.zeros(img.shape, jnp.float32)
+    gy = jnp.zeros(img.shape, jnp.float32)
+    gx_inner = _trunc_half_f32(im[..., 1 : h - 1, 2:w] - im[..., 1 : h - 1, 0 : w - 2])
+    gy_inner = _trunc_half_f32(im[..., 2:h, 1 : w - 1] - im[..., 0 : h - 2, 1 : w - 1])
+    gx = gx.at[..., 1 : h - 1, 1 : w - 1].set(gx_inner)
+    gy = gy.at[..., 1 : h - 1, 1 : w - 1].set(gy_inner)
+    return gx, gy
+
+
+def gradients_xy_f32(img_pyramid: List[jnp.ndarray]) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """``gradients_xy`` with f32 carriers (identical integer values)."""
+    out = []
+    for img in img_pyramid[:-1]:
+        a, b, c, d = (x.astype(jnp.float32) for x in block_2x2(img))
+        out.append((_trunc_half_f32(c + d - a - b), _trunc_half_f32(b - a + d - c)))
+    return out
+
+
+def squared_norm_f32(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """``squared_norm`` on f32 carriers: exact (<= 2*127^2 < 2^24)."""
+    return gx * gx + gy * gy
+
+
 def gradients_squared_norm(img_pyramid: List[jnp.ndarray]) -> List[jnp.ndarray]:
     """Squared-norm gradients at each level 1..n-1 (multires.rs:96-106)."""
     out = []
