@@ -296,21 +296,15 @@ def _extract_level_onehot(
             f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
         return f.reshape(n_chunks, m)
 
-    chunk_perm = jnp.asarray(_bit_reversal_order(n_chunks))  # static visit order
-
-    def visit_pad(a, fill):
-        # (C, m) chunk layout PERMUTED to visit order: every per-chunk array
-        # below lives in visit space, so ONE one-hot serves both the slot
-        # location and the channel gathers (the former separate natural-
-        # order one-hot and its two Precision.HIGHEST matvecs are gone)
-        return flat_pad(a, fill)[chunk_perm]
-
-    known_v = visit_pad(idmap.known, False)
+    known_cm = flat_pad(idmap.known, False)
     upper = jnp.triu(jnp.ones((m, m), jnp.bfloat16))
     # inclusive within-chunk ranks; integer values <= 128, exact in bf16
-    lrank = jnp.dot(known_v.astype(jnp.bfloat16), upper,
-                    preferred_element_type=Float)  # (C, m) visit order
-    counts_v = lrank[:, -1]  # (C,)
+    lrank = jnp.dot(known_cm.astype(jnp.bfloat16), upper,
+                    preferred_element_type=Float)  # (C, m) natural order
+    counts = lrank[:, -1]  # (C,)
+
+    chunk_perm = jnp.asarray(_bit_reversal_order(n_chunks))  # static visit order
+    counts_v = counts[chunk_perm]
     offs_incl = jnp.cumsum(counts_v)  # (C,) f32 exact (< 2^24)
     offs_excl = offs_incl - counts_v
     total = jnp.minimum(offs_incl[-1], jnp.asarray(cap, Float))
@@ -321,38 +315,15 @@ def _extract_level_onehot(
     past = (offs_incl[None, :] <= s[:, None]).astype(jnp.int32)  # (cap, C)
     jv = jnp.minimum(jnp.sum(past, axis=1), n_chunks - 1)
     iota_c = jax.lax.iota(jnp.int32, n_chunks)
-    onehot = (iota_c[None, :] == jv[:, None])  # (cap, C) bool, visit space
-    # ALL channel gathers ride ONE bf16 MXU pass: small-int channels are
-    # exact in bf16 directly, and the inverse depth rides as u8 byte planes
-    # (each exact in bf16) — ~4x cheaper than a separate Precision.HIGHEST
-    # f32 matmul for z.  When the RAW u16 depth map is available (level 0,
-    # where the fused idepth pyramid IS ``scale / depth`` at candidate
-    # pixels), gather its TWO depth bytes instead of the f32 idepth's FOUR
-    # and recompute ``scale / depth`` after the gather — the identical f32
-    # division ``from_depth`` performs, so the result is bit-exact, and the
-    # dominant channel matmul shrinks from 7 to 5 byte planes (level 0 is
-    # ~75% of the whole channel-gather cost across the pyramid).
-    if depth_u16 is not None:
-        d16 = visit_pad(depth_u16, 0).astype(jnp.uint16)
-        z_bytes = [
-            (d16 & 0xFF).astype(jnp.bfloat16),
-            ((d16 >> 8) & 0xFF).astype(jnp.bfloat16),
-        ]
-    else:
-        z_u32 = jax.lax.bitcast_convert_type(
-            visit_pad(idmap.idepth, 0.0), jnp.uint32
-        )
-        z_bytes = [
-            ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
-        ]
-    nz = len(z_bytes)
-    # EVERYTHING a slot needs rides ONE bf16 MXU pass against the single
-    # visit-space one-hot: the channel bytes, the within-chunk rank row
-    # (lrank, integers <= m: exact in bf16), and five per-chunk location
-    # scalars byte-decomposed so they too are exact in bf16 — the natural
-    # chunk id (j_nat = chunk_perm, < 2^16: 2 bytes) and the exclusive
-    # visit-order offset (< hw <= 2^24: 3 bytes).  One-nonzero-per-row
-    # products make every lane of the matmul exact.
+    onehot_v = (iota_c[None, :] == jv[:, None])  # (cap, C) bool, visit space
+    # per-chunk location scalars, byte-decomposed so a single small exact
+    # bf16 matmul replaces the former two Precision.HIGHEST f32 matvecs
+    # (and their f32 (cap, C) one-hot materialization): the natural chunk
+    # id (chunk_perm < 2^16: 2 bytes) and the exclusive visit-order offset
+    # (< hw <= 2^24: 3 bytes).  One nonzero per row -> every lane exact.
+    # NOTE a visit-order row permute of the (C, m) channel data itself was
+    # measured MUCH worse (bit-reversed row gathers at image scale,
+    # docs/PERF.md round 4) — only these (C,) vectors live in visit space.
     perm_f = chunk_perm.astype(Float)
     loc_cols = jnp.stack(
         [
@@ -364,23 +335,52 @@ def _extract_level_onehot(
         ],
         axis=1,
     ).astype(jnp.bfloat16)  # (C, 5)
-    chans = jnp.concatenate(
-        [visit_pad(gx, 0).astype(jnp.bfloat16),
-         visit_pad(gy, 0).astype(jnp.bfloat16),
-         visit_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes
-        + [lrank.astype(jnp.bfloat16), loc_cols],
-        axis=1,
-    )  # (C, (4+nz) m + 5)
-    rows = jnp.dot(onehot.astype(jnp.bfloat16), chans,
-                   preferred_element_type=Float)  # (cap, (4+nz) m + 5)
-
-    base = (3 + nz) * m
-    lrow = rows[:, base : base + m]  # (cap, m) exact
-    loc = rows[:, base + m :]  # (cap, 5)
+    loc = jnp.dot(onehot_v.astype(jnp.bfloat16), loc_cols,
+                  preferred_element_type=Float)  # (cap, 5)
     j_nat = loc[:, 0] * 256.0 + loc[:, 1]
     off_ex = loc[:, 2] + 256.0 * loc[:, 3] + 65536.0 * loc[:, 4]
     r = s - off_ex  # 0-based rank within the chunk
     j_nat_i = j_nat.astype(jnp.int32)
+    onehot_nat = (iota_c[None, :] == j_nat_i[:, None])  # (cap, C) bool
+    # ALL channel gathers ride ONE bf16 MXU pass: small-int channels are
+    # exact in bf16 directly, and the inverse depth rides as u8 byte planes
+    # (each exact in bf16) — ~4x cheaper than a separate Precision.HIGHEST
+    # f32 matmul for z.  When the RAW u16 depth map is available (level 0,
+    # where the fused idepth pyramid IS ``scale / depth`` at candidate
+    # pixels), gather its TWO depth bytes instead of the f32 idepth's FOUR
+    # and recompute ``scale / depth`` after the gather — the identical f32
+    # division ``from_depth`` performs, so the result is bit-exact, and the
+    # dominant channel matmul shrinks from 7 to 5 byte planes (level 0 is
+    # ~75% of the whole channel-gather cost across the pyramid).
+    if depth_u16 is not None:
+        d16 = flat_pad(depth_u16, 0).astype(jnp.uint16)
+        z_bytes = [
+            (d16 & 0xFF).astype(jnp.bfloat16),
+            ((d16 >> 8) & 0xFF).astype(jnp.bfloat16),
+        ]
+    else:
+        z_u32 = jax.lax.bitcast_convert_type(
+            flat_pad(idmap.idepth, 0.0), jnp.uint32
+        )
+        z_bytes = [
+            ((z_u32 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)
+        ]
+    nz = len(z_bytes)
+    # the within-chunk rank row (lrank, integers <= m: exact in bf16) rides
+    # as one more "channel" of the single one-hot matmul — folding the
+    # former separate (cap, C) x (C, m) lrow pass into this one saves a
+    # full read of the big one-hot per level
+    chans = jnp.concatenate(
+        [flat_pad(gx, 0).astype(jnp.bfloat16),
+         flat_pad(gy, 0).astype(jnp.bfloat16),
+         flat_pad(tmpl_img, 0).astype(jnp.bfloat16)] + z_bytes
+        + [lrank.astype(jnp.bfloat16)],
+        axis=1,
+    )  # (C, (4+nz) m)
+    rows = jnp.dot(onehot_nat.astype(jnp.bfloat16), chans,
+                   preferred_element_type=Float)  # (cap, (4+nz) m)
+
+    lrow = rows[:, (3 + nz) * m : (4 + nz) * m]  # (cap, m) exact
     lrow_shift = jnp.concatenate([jnp.zeros((cap, 1), Float), lrow[:, :-1]], axis=1)
     # first position where the inclusive rank reaches r+1
     sel = jnp.logical_and(lrow == r[:, None] + 1.0, lrow_shift == r[:, None])
