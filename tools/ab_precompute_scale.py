@@ -1,4 +1,10 @@
-"""In-graph scaling curve of the batched keyframe precompute: cost vs lane
+"""DEPRECATED round 4: this harness carries only a scalar through the
+measurement scan, so XLA dead-code-eliminates most of each stage and the
+numbers under-measure ~2x (docs/PERF.md "round-4 correction").  Use
+tools/ab_precompute_stages.py (full-output carry) instead.  Kept for the
+history of the round-4 diagnosis.
+
+In-graph scaling curve of the batched keyframe precompute: cost vs lane
 count K, plus a stage breakdown at chosen Ks.
 
 The round-3 K sweep (tools/ab_subbatch.py) showed strong SUB-linearity:

@@ -148,7 +148,15 @@ def gradients_xy_f32(img_pyramid: List[jnp.ndarray]) -> List[Tuple[jnp.ndarray, 
 
 
 def squared_norm_f32(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
-    """``squared_norm`` on f32 carriers: exact (<= 2*127^2 < 2^24)."""
+    """``squared_norm`` on f32 carriers: exact, and the reference's
+    ``as u16`` cast (gradient.rs:38-44) can never wrap here, so no mod is
+    needed.  Proof: for any 2x2-block gradient pair, ``gx + gy = d - a``
+    and ``gx - gy = c - b`` (pre-truncation; truncation only shrinks
+    magnitudes), so ``gx² + gy² = ((gx+gy)² + (gx-gy)²) / 2
+    <= (255² + 255²)/2 = 65025 < 2^16``; centered gradients are within
+    ±127, bounding the sum by 32258.  (``squared_norm_direct`` — the DSO
+    path — CAN wrap and keeps the integer formulation.)
+    """
     return gx * gx + gy * gy
 
 
