@@ -477,3 +477,63 @@ def test_dso_selector_rejected_in_graph():
         tracker_mod.precompute_keyframe(
             config, seq.intrinsics, jnp.asarray(seq.depths[0]), pyr
         )
+
+
+def test_extract_level_onehot_matches_nonzero_oracle():
+    """Direct unit oracle for the one-hot extraction: a plain numpy
+    enumeration (chunks in bit-reversed visit order, row-major within a
+    chunk) must reproduce xs/ys/z/valid/gu/gv/tmpl exactly — including
+    cap truncation and both z paths (u16 depth bytes at level 0, f32
+    idepth byte planes elsewhere).  The round-4 rewrites (fused lrank,
+    single-matmul location scalars) were each verified bit-exact against
+    their predecessor; this pins the composed semantics permanently."""
+    from visual_odometry_rs_tpu.core import inverse_depth as idepth_mod
+
+    rng = np.random.default_rng(11)
+    m = tracker_mod._EXTRACT_CHUNK
+    for (h, w) in ((37, 53), (96, 128)):
+        for cap in (64, 512):
+            depth = rng.integers(0, 9000, size=(h, w)).astype(np.uint16)
+            depth[rng.random((h, w)) < 0.3] = 0
+            mask = rng.random((h, w)) < 0.4
+            gx = rng.integers(-127, 128, size=(h, w)).astype(np.float32)
+            gy = rng.integers(-127, 128, size=(h, w)).astype(np.float32)
+            tmpl = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+            idmap = idepth_mod.masked(
+                idepth_mod.from_depth(5000.0, jnp.asarray(depth), 0.5),
+                jnp.asarray(mask),
+            )
+            known = np.asarray(idmap.known).reshape(-1)
+            idepth_flat = np.asarray(idmap.idepth).reshape(-1)
+
+            # oracle: visit flat indices chunk-by-chunk in bit-reversed
+            # chunk order, row-major within each chunk
+            hw = h * w
+            n_chunks = -(-hw // m)
+            order = []
+            for c in tracker_mod._bit_reversal_order(n_chunks):
+                for p in range(c * m, min((c + 1) * m, hw)):
+                    if p < hw and known[p]:
+                        order.append(p)
+            order = order[:cap]
+
+            for d16 in (None, jnp.asarray(depth)):
+                xs, ys, z, valid, gu, gv, tv = tracker_mod._extract_level_onehot(
+                    idmap, jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(tmpl),
+                    cap, depth_u16=d16, depth_scale=5000.0,
+                )
+                n = len(order)
+                assert int(np.asarray(valid).sum()) == n
+                got_idx = (np.asarray(ys)[:n] * w + np.asarray(xs)[:n]).astype(int)
+                np.testing.assert_array_equal(got_idx, np.asarray(order))
+                np.testing.assert_array_equal(
+                    np.asarray(gu)[:n], gx.reshape(-1)[order])
+                np.testing.assert_array_equal(
+                    np.asarray(gv)[:n], gy.reshape(-1)[order])
+                np.testing.assert_array_equal(
+                    np.asarray(tv)[:n], tmpl.reshape(-1)[order].astype(np.float32))
+                np.testing.assert_array_equal(
+                    np.asarray(z)[:n], idepth_flat[order])
+                # invalid slots are hard zeros in every channel
+                for arr in (z, gu, gv, tv):
+                    np.testing.assert_array_equal(np.asarray(arr)[n:], 0.0)
