@@ -858,3 +858,40 @@ def test_cli_slam_long_trajectory_bounded_memory(tmp_path):
         f"ATE {err:.4f}",
         file=_sys.stderr,
     )
+
+
+def test_cli_slam_kf_store_modes_and_cross_mode_resume(tmp_path, capsys):
+    """--kf-store disk (round 4, default) equals the resident memory mode
+    end-to-end, and an image-free disk-mode checkpoint resumes correctly
+    under --kf-store memory (the store re-decodes the consumed keyframes
+    after the sequence binding passes)."""
+    from visual_odometry_rs_tpu.cli import vors_slam
+
+    seq = synthetic.generate_sequence(
+        nb_frames=6, height=96, width=128, seed=31, motion_scale=0.02,
+        rot_scale=0.005,
+    )
+    assoc = tum_rgbd.write_sequence(
+        str(tmp_path), seq.grays, seq.depths, seq.timestamps
+    )
+    opts = ["--nb-levels", "3", "--candidate-cap", "512",
+            "--interp", "gather", "--loop-min-gap", "1"]
+
+    rc = vors_slam.main(["fr1", assoc, *opts, "--kf-store", "memory"])
+    assert rc == 0
+    out_mem = capsys.readouterr().out
+
+    ckpt = str(tmp_path / "slam_disk.npz")
+    rc = vors_slam.main(["fr1", assoc, *opts, "--kf-store", "disk",
+                         "--save-state", ckpt])
+    assert rc == 0
+    out_disk = capsys.readouterr().out
+    assert out_disk == out_mem  # retention mode cannot change results
+
+    # resume the (image-free) disk checkpoint in memory mode: all frames
+    # already tracked, so this replays loop closure + PGO from the store
+    rc = vors_slam.main(["fr1", assoc, *opts, "--kf-store", "memory",
+                         "--resume", ckpt])
+    assert rc == 0
+    err = capsys.readouterr()
+    assert err.out == out_mem

@@ -233,10 +233,6 @@ def main(argv=None) -> int:
             # ValueError: np.load on a corrupt / non-npz file
             print(f"Cannot resume: {e}", file=sys.stderr)
             return 1
-        if kf_images is not None:
-            # pre-round-4 checkpoint carrying the images: seed the store
-            for fid, (d, g) in kf_images.items():
-                store.put(fid, d, g)
         # the config fingerprint alone would accept a checkpoint from a
         # different dataset with the same camera — bind to the sequence by
         # checking the tracked timestamps against the associations prefix
@@ -250,6 +246,19 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if kf_images is not None:
+            # pre-round-4 checkpoint carrying the images: seed the store
+            for fid, (d, g) in kf_images.items():
+                store.put(fid, d, g)
+        elif store.mode == "memory":
+            # image-free (disk-mode) checkpoint resumed with --kf-store
+            # memory: re-decode the consumed keyframes so the resident
+            # store is complete (the sequence binding above guarantees the
+            # association files are the ones the checkpoint consumed)
+            from ..dataset import tum_rgbd as _tum
+
+            for fid in keyframe_ids:
+                store.put(fid, *_tum.read_images(associations[fid]))
         print(
             f"resumed from {args.resume}: {frames_done} frames tracked, "
             f"{len(keyframe_ids)} keyframes",
@@ -329,6 +338,18 @@ def main(argv=None) -> int:
             if sw is not None:
                 ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
             print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
+
+    if args.save_state:
+        # final save: without it a run shorter than --save-every would
+        # leave no checkpoint at all (the in-loop cadence is for crash
+        # protection; this records the completed tracking phase)
+        ckpt_mod.save_slam(
+            args.save_state, trk, trajectory, timestamps, keyframe_ids,
+            store.images_for_checkpoint(), len(associations) - 1,
+        )
+        if sw is not None:
+            ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
+        print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
 
     # --- 2. loop closure over keyframes -----------------------------------
     lc = loop_closure.LoopClosureConfig(
