@@ -764,6 +764,12 @@ def test_cli_batch_save_resume_matches_uninterrupted(tmp_path):
                   "--save-state", ckpt]
     )
     assert rc == 0
+    # simulate a crash between the output flush and save_checkpoint: a
+    # stray line past the checkpoint must be trimmed on resume, not
+    # duplicated by the append
+    files = sorted(os.listdir(out_split))
+    with open(os.path.join(out_split, files[0]), "a") as fh:
+        fh.write("9999.0 0 0 0 0 0 0 1\n")
     rc = vors_batch.main(
         common + ["--out-dir", out_split, "--resume", ckpt]
     )

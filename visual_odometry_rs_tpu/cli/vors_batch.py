@@ -275,6 +275,32 @@ def main(argv=None) -> int:
         for b in range(B):
             for _ in range(min(frame_idx, lengths[b])):
                 last[b] = next(loaders[b])
+        # reconcile output files to exactly the checkpoint's frame count:
+        # a crash can land between the chunk's output flush and its
+        # save_checkpoint, leaving lines PAST the checkpoint that the
+        # resumed run would otherwise duplicate on append
+        for b, name in enumerate(names):
+            pth = os.path.join(args.out_dir, name)
+            k = min(frame_idx, lengths[b])
+            if os.path.exists(pth):
+                with open(pth) as fh:
+                    lines = fh.readlines()
+                if len(lines) > k:
+                    with open(pth, "w") as fh:
+                        fh.writelines(lines[:k])
+                    print(
+                        f"[{b}] trimmed {len(lines) - k} output lines past "
+                        "the checkpoint (crash between flush and save)",
+                        file=sys.stderr,
+                    )
+                elif len(lines) < k:
+                    print(
+                        f"[{b}] warning: {pth} has {len(lines)} lines but "
+                        f"the checkpoint consumed {k} frames — earlier "
+                        "output is missing (different --out-dir?); the "
+                        "resumed file will hold only frames from here on",
+                        file=sys.stderr,
+                    )
         out_mode = "a"  # append: lines for consumed frames already exist
         print(
             f"resumed {B} lanes at global frame {frame_idx}", file=sys.stderr
