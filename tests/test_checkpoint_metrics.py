@@ -260,3 +260,40 @@ def test_cli_track_resume_overlap_warning(tmp_path, capsys):
     )
     assert rc == 0
     assert "double-tracked" not in capsys.readouterr().err
+
+
+def test_fingerprint_stable_across_added_default_fields():
+    """Adding TrackerConfig knobs must not orphan existing checkpoints:
+    fields in checkpoint._FINGERPRINT_DEFAULT_EXCLUDED are dropped from the
+    fingerprint payload while at their defaults (a pre-round-4 checkpoint,
+    whose config never had them, hashes identically), and a NON-default
+    value — which changes tracking semantics — changes the fingerprint."""
+    import dataclasses
+    import hashlib
+    import json
+
+    config = tracker_mod.TrackerConfig(
+        height=48, width=64, nb_levels=3, candidate_cap=256
+    )
+    # simulate the pre-round-4 fingerprint: hash of asdict WITHOUT the
+    # later-added fields
+    d = dataclasses.asdict(config)
+    for k in checkpoint._FINGERPRINT_DEFAULT_EXCLUDED:
+        assert k in d  # the exclusion list tracks real fields
+        d.pop(k)
+    legacy = hashlib.sha256(
+        json.dumps({"config": d}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    assert checkpoint.config_fingerprint(config) == legacy
+
+    # exclusion-list defaults must MATCH the dataclass defaults — otherwise
+    # a default config would hash differently from a legacy one
+    ref = tracker_mod.TrackerConfig(height=1, width=1)
+    for k, v in checkpoint._FINGERPRINT_DEFAULT_EXCLUDED.items():
+        assert getattr(ref, k) == v, k
+
+    # a non-default selector changes semantics -> changes the fingerprint
+    cfg_dso = dataclasses.replace(config, candidate_selector="dso")
+    assert checkpoint.config_fingerprint(cfg_dso) != legacy
+    cfg_tgt = dataclasses.replace(config, dso_target=999)
+    assert checkpoint.config_fingerprint(cfg_tgt) != legacy

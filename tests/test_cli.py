@@ -841,7 +841,11 @@ def test_cli_slam_long_trajectory_bounded_memory(tmp_path):
     )
     wall = time.perf_counter() - t0
     after = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    peak_mb = (after if after > before else after) / 1024.0  # linux: KB
+    # ru_maxrss(RUSAGE_CHILDREN) is a monotone max over ALL children: the
+    # number is this subprocess's peak only if it set a new max; otherwise
+    # an earlier (larger) child masks it and we can only report a bound
+    peak_mb = after / 1024.0  # linux: KB
+    peak_note = "" if after > before else " (<=: masked by an earlier child)"
     assert proc.returncode == 0, proc.stderr[-2000:]
 
     frames = tum_rgbd.parse_trajectory(proc.stdout)
@@ -860,7 +864,7 @@ def test_cli_slam_long_trajectory_bounded_memory(tmp_path):
     assert np.isfinite(err) and err < 1.0, err
     print(
         f"slam long-trajectory: {n_kf} keyframes, {n_edges} loop edges, "
-        f"wall {wall:.1f}s, subprocess peak RSS {peak_mb:.0f} MB, "
+        f"wall {wall:.1f}s, subprocess peak RSS {peak_mb:.0f} MB{peak_note}, "
         f"ATE {err:.4f}",
         file=_sys.stderr,
     )

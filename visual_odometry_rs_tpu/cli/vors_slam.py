@@ -44,13 +44,15 @@ class _KeyframeStore:
     memory is O(1) in trajectory length.
     """
 
-    _LRU = 32
-
-    def __init__(self, mode: str, associations):
+    def __init__(self, mode: str, associations, lru: int = 32):
         self.mode = mode
         self._assocs = associations
         self._mem = {}
         self._lru: "dict[int, tuple]" = {}
+        # loop verification fetches depths and grays for the unique proposal
+        # endpoints in separate passes, so the LRU must hold all of them at
+        # once or every endpoint frame is PNG-decoded twice
+        self._LRU = max(32, lru)
 
     def put(self, fid: int, depth, gray) -> None:
         if self.mode == "memory":
@@ -216,7 +218,9 @@ def main(argv=None) -> int:
     # --- 1. track ---------------------------------------------------------
     from ..utils import checkpoint as ckpt_mod
 
-    store = _KeyframeStore(args.kf_store, associations)
+    store = _KeyframeStore(
+        args.kf_store, associations, lru=2 * args.loop_max_candidates
+    )
 
     trk = tracker_mod.init_tracker(
         config, intrinsics,
@@ -308,6 +312,15 @@ def main(argv=None) -> int:
             "loop closure will see refined poses",
             file=sys.stderr,
         )
+    def save_all(done: int) -> None:
+        ckpt_mod.save_slam(
+            args.save_state, trk, trajectory, timestamps, keyframe_ids,
+            store.images_for_checkpoint(), done,
+        )
+        if sw is not None:
+            ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
+        print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
+
     todo = associations[1 + frames_done:]
     for idx, (assoc, (depth, gray)) in enumerate(
         zip(todo, tum_rgbd.frame_loader(todo)), start=1 + frames_done
@@ -331,25 +344,13 @@ def main(argv=None) -> int:
             keyframe_ids.append(idx)
             store.put(idx, depth, gray)
         if args.save_state and (idx - frames_done) % max(1, args.save_every) == 0:
-            ckpt_mod.save_slam(
-                args.save_state, trk, trajectory, timestamps, keyframe_ids,
-                store.images_for_checkpoint(), idx,
-            )
-            if sw is not None:
-                ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
-            print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
+            save_all(idx)
 
     if args.save_state:
         # final save: without it a run shorter than --save-every would
         # leave no checkpoint at all (the in-loop cadence is for crash
         # protection; this records the completed tracking phase)
-        ckpt_mod.save_slam(
-            args.save_state, trk, trajectory, timestamps, keyframe_ids,
-            store.images_for_checkpoint(), len(associations) - 1,
-        )
-        if sw is not None:
-            ckpt_mod.save_sliding_window(args.save_state + ".window", sw)
-        print(f"checkpointed slam state to {args.save_state}", file=sys.stderr)
+        save_all(len(associations) - 1)
 
     # --- 2. loop closure over keyframes -----------------------------------
     lc = loop_closure.LoopClosureConfig(

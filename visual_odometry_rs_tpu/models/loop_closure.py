@@ -92,6 +92,12 @@ def propose_candidates(
     identical to the all-pairs formulation (pinned by
     ``tests/test_loop_closure.py::test_propose_grid_matches_bruteforce``).
     """
+    if lc.min_gap < 0:
+        # with a negative gap BOTH temporal orderings of a pair can pass,
+        # where the grid emits one ordered pair and the all-pairs
+        # formulation emits two — and a "loop" between temporally adjacent
+        # frames is meaningless anyway
+        raise ValueError(f"min_gap must be >= 0, got {lc.min_gap}")
     P = _stack(poses)
     t = np.asarray(P.t, np.float64)  # (N, 3)
     q = np.asarray(P.q, np.float64)

@@ -960,7 +960,17 @@ class BatchedSlidingWindow:
             mq, mt, Ht = self._switcher_b(F)(switch_dev, m.q, m.t, self.prior_H)
             self.models = [Pose(mq[:, i], mt[:, i]) for i in range(F)]
             self.prior_H = Ht
-            self.prior_anchors = Pose(mq, mt)
+            # anchors: switching lanes re-anchor at the transferred models
+            # (single-lane _switch_keyframe_transfer semantics); lanes that
+            # did NOT switch must KEEP their marginalization-time anchors —
+            # overwriting them with current post-solve models would zero the
+            # prior gradient at the wrong point and couple lanes (a lane's
+            # prior would shift whenever ANY other lane switches)
+            sw3 = switch_dev[:, None, None]
+            self.prior_anchors = Pose(
+                jnp.where(sw3, mq, self.prior_anchors.q),
+                jnp.where(sw3, mt, self.prior_anchors.t),
+            )
             # fresh depth epoch for switching lanes: all-lanes precompute +
             # per-lane select (the parallel.batch pattern)
             kf_new = self._precompute_b(depths, pyr_new)

@@ -31,9 +31,41 @@ class CheckpointMismatchError(RuntimeError):
     """Checkpoint is from a different format version or tracker config."""
 
 
+# TrackerConfig fields added AFTER the v2 fingerprint scheme froze: excluded
+# from the hash while at their defaults, so checkpoints written before the
+# field existed keep resuming (a default-valued new knob cannot change the
+# checkpointed state's semantics).  A NON-default value does change
+# semantics and must change the fingerprint — then it stays in the payload.
+_FINGERPRINT_DEFAULT_EXCLUDED = {
+    # round 4: DSO candidate selector as a product option
+    "candidate_selector": "coarse_to_fine",
+    "dso_target": 2000,
+    "dso_threshold_coef_a": 1.0,
+    "dso_threshold_coef_b": 3,
+}
+
+
+def _config_payload(config) -> dict:
+    d = dataclasses.asdict(config)
+    for k, default in _FINGERPRINT_DEFAULT_EXCLUDED.items():
+        if d.get(k) == default:
+            d.pop(k, None)
+    return d
+
+
+def _peek_meta(path: str) -> dict:
+    """Read just the checkpoint metadata, closing the archive handle (the
+    full pytree load happens later through ``load_pytree``)."""
+    with np.load(path) as raw:
+        return (
+            json.loads(bytes(raw["__meta__"]).decode())
+            if "__meta__" in raw else {}
+        )
+
+
 def config_fingerprint(config, intrinsics=None) -> str:
     """Stable hash of the tracker configuration (+ optional intrinsics)."""
-    payload = {"config": dataclasses.asdict(config)}
+    payload = {"config": _config_payload(config)}
     if intrinsics is not None:
         payload["intrinsics"] = [
             float(np.asarray(v)) for v in (intrinsics.cx, intrinsics.cy,
@@ -186,7 +218,7 @@ def sliding_window_fingerprint(sw) -> str:
     options.  A resumed run with ANY of these changed would silently mix
     incompatible state."""
     payload = {
-        "config": dataclasses.asdict(sw.config),
+        "config": _config_payload(sw.config),
         "intrinsics": [
             float(np.asarray(v)) for v in (sw.intrinsics.cx, sw.intrinsics.cy,
                                            sw.intrinsics.fx, sw.intrinsics.fy,
@@ -259,8 +291,7 @@ def load_sliding_window(path: str, sw) -> dict:
     """
     from ..math.pose import Pose
 
-    raw = np.load(path)
-    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    meta = _peek_meta(path)
     version = meta.get("format_version")
     if version != FORMAT_VERSION or meta.get("kind") != "sliding_window":
         raise CheckpointMismatchError(
@@ -321,7 +352,7 @@ def batch_fingerprint(config, intrinsics, switch_cadence: int) -> str:
     numerics-equivalent implementation choice (docs/PERF.md), like
     ``interp_method='auto'`` resolution."""
     payload = {
-        "config": dataclasses.asdict(config),
+        "config": _config_payload(config),
         "intrinsics": [
             float(np.asarray(v)) for v in (intrinsics.cx, intrinsics.cy,
                                            intrinsics.fx, intrinsics.fy,
@@ -375,8 +406,7 @@ def load_batch(
     Raises ``CheckpointMismatchError`` on format/fingerprint mismatch or
     when the checkpoint's relocalization-ring presence disagrees with the
     live configuration."""
-    raw = np.load(path)
-    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    meta = _peek_meta(path)
     version = meta.get("format_version")
     if version != FORMAT_VERSION or meta.get("kind") != "batch":
         raise CheckpointMismatchError(
@@ -481,8 +511,7 @@ def load_slam(path: str, tracker):
     """
     from ..math.pose import Pose
 
-    raw = np.load(path)
-    meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw else {}
+    meta = _peek_meta(path)
     version = meta.get("format_version")
     if version != FORMAT_VERSION or meta.get("kind") != "slam":
         raise CheckpointMismatchError(
