@@ -59,6 +59,41 @@ def test_rpe():
     assert t_err < 1e-6 and r_err < 1e-3
 
 
+def _rpe_loop(estimated, ground_truth, delta=1):
+    """Scalar per-pair reference implementation (the pre-round-5 host loop)."""
+    t_errs, r_errs = [], []
+    for i in range(len(estimated) - delta):
+        def rel(a, b):
+            return pose_mod.compose(pose_mod.inverse(a), b)
+
+        rel_est = rel(estimated[i], estimated[i + delta])
+        rel_gt = rel(ground_truth[i], ground_truth[i + delta])
+        err = pose_mod.compose(pose_mod.inverse(rel_gt), rel_est)
+        t_errs.append(float(jnp.linalg.norm(err.t)))
+        w = float(jnp.clip(jnp.abs(err.q[0]), 0.0, 1.0))
+        r_errs.append(2.0 * float(np.arccos(w)))
+    return (
+        float(np.sqrt(np.mean(np.square(t_errs)))),
+        float(np.sqrt(np.mean(np.square(r_errs)))),
+    )
+
+
+def test_rpe_vectorized_matches_loop():
+    """The round-5 one-dispatch RPE equals the per-pair host loop."""
+    est = _traj(15, seed=5)
+    gt = _traj(15, seed=6)
+    for delta in (1, 3):
+        t_v, r_v = ate.rpe_rmse(est, gt, delta=delta)
+        t_l, r_l = _rpe_loop(est, gt, delta=delta)
+        np.testing.assert_allclose(t_v, t_l, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(r_v, r_l, rtol=1e-5, atol=1e-7)
+
+
+def test_rpe_empty_pairs():
+    traj = _traj(3, seed=7)
+    assert ate.rpe_rmse(traj, traj, delta=5) == (0.0, 0.0)
+
+
 def test_vors_eval_cli(tmp_path, capsys):
     """vors_eval: track a synthetic clip, write ground truth, evaluate."""
     import io

@@ -293,6 +293,17 @@ def main(argv=None) -> int:
                         "the checkpoint (crash between flush and save)",
                         file=sys.stderr,
                     )
+                elif len(lines) == k and lines and not lines[-1].endswith("\n"):
+                    # a crash mid-flush can truncate the final line while the
+                    # line COUNT still matches the checkpoint; appending after
+                    # a corrupt partial line would garble two TUM records
+                    with open(pth, "w") as fh:
+                        fh.writelines(lines[:-1])
+                    print(
+                        f"[{b}] dropped a truncated final line in {pth} "
+                        "(crash mid-flush); that frame's pose line is lost",
+                        file=sys.stderr,
+                    )
                 elif len(lines) < k:
                     print(
                         f"[{b}] warning: {pth} has {len(lines)} lines but "

@@ -67,22 +67,38 @@ def rpe_rmse(
     """Relative pose error over ``delta``-frame intervals.
 
     Returns (translational RMSE in meters, rotational RMSE in radians).
+
+    One batched pass over all N-delta pairs (the pose ops broadcast over
+    leading axes), so the cost is O(1) device dispatches instead of the
+    former O(N) per-pair ``compose`` calls — material at the
+    thousands-of-keyframes scale the SLAM back-end supports.
     """
     from ..math import pose as pose_mod
     import jax.numpy as jnp
 
-    t_errs, r_errs = [], []
-    for i in range(len(estimated) - delta):
-        def rel(a: Pose, b: Pose) -> Pose:
-            return pose_mod.compose(pose_mod.inverse(a), b)
+    n_pairs = len(estimated) - delta
+    if n_pairs <= 0:
+        return 0.0, 0.0
 
-        rel_est = rel(estimated[i], estimated[i + delta])
-        rel_gt = rel(ground_truth[i], ground_truth[i + delta])
-        err = pose_mod.compose(pose_mod.inverse(rel_gt), rel_est)
-        t_errs.append(float(jnp.linalg.norm(err.t)))
-        w = float(jnp.clip(jnp.abs(err.q[0]), 0.0, 1.0))
-        r_errs.append(2.0 * float(np.arccos(w)))
+    def stack(poses: Sequence[Pose]) -> Pose:
+        return Pose(
+            jnp.stack([jnp.asarray(p.q) for p in poses]),
+            jnp.stack([jnp.asarray(p.t) for p in poses]),
+        )
+
+    est = stack(estimated)
+    gt = stack(ground_truth)
+
+    def rel(p: Pose) -> Pose:
+        head = Pose(p.q[:-delta], p.t[:-delta])
+        tail = Pose(p.q[delta:], p.t[delta:])
+        return pose_mod.compose(pose_mod.inverse(head), tail)
+
+    err = pose_mod.compose(pose_mod.inverse(rel(gt)), rel(est))
+    t_err = np.asarray(jnp.linalg.norm(err.t, axis=-1), np.float64)
+    w = np.asarray(jnp.clip(jnp.abs(err.q[:, 0]), 0.0, 1.0), np.float64)
+    r_err = 2.0 * np.arccos(w)
     return (
-        float(np.sqrt(np.mean(np.square(t_errs)))),
-        float(np.sqrt(np.mean(np.square(r_errs)))),
+        float(np.sqrt(np.mean(np.square(t_err)))),
+        float(np.sqrt(np.mean(np.square(r_err)))),
     )

@@ -645,6 +645,9 @@ def stack_windows(wins) -> Window:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *wins)
 
 
+_BATCHED_SOLVE_CACHE: dict = {}
+
+
 def solve_window_batched(
     wins: Window, mesh=None, axis: str = "data", *,
     pose_prior=None, idepth_init=None, **opts
@@ -691,13 +694,22 @@ def solve_window_batched(
             f"{wins.idepth.shape}; got {idepth_init.shape}"
         )
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda w, hp, aq, at, ii: solve_window(
-                w, pose_prior=(hp, Pose(aq, at)), idepth_init=ii, **opts
+    # cache the jitted vmapped solver by opts: a fresh jax.jit wrapper per
+    # call would discard its trace cache and recompile the full batched
+    # solve every invocation (per-step callers — the batched sliding
+    # window — would pay seconds per step).  Shape specialization is
+    # handled by jit's own cache inside each wrapper.
+    key = tuple(sorted(opts.items()))
+    fn = _BATCHED_SOLVE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            jax.vmap(
+                lambda w, hp, aq, at, ii: solve_window(
+                    w, pose_prior=(hp, Pose(aq, at)), idepth_init=ii, **opts
+                )
             )
         )
-    )
+        _BATCHED_SOLVE_CACHE[key] = fn
     if mesh is not None:
         from ..parallel import mesh as mesh_mod
 

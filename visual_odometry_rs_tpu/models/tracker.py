@@ -324,6 +324,13 @@ def _extract_level_onehot(
     # NOTE a visit-order row permute of the (C, m) channel data itself was
     # measured MUCH worse (bit-reversed row gathers at image scale,
     # docs/PERF.md round 4) — only these (C,) vectors live in visit space.
+    # byte-decomposition capacity limits: the chunk id rides as 2 bytes and
+    # the exclusive offset as 3 — tighter than the generic <2^24 f32 rule,
+    # so fail loudly instead of decoding wrong chunk ids on oversized images
+    assert n_chunks < 65536 and hw < 2 ** 24, (
+        f"_extract_level_onehot supports at most 2^16 chunks / 2^24 pixels "
+        f"(got n_chunks={n_chunks}, hw={hw})"
+    )
     perm_f = chunk_perm.astype(Float)
     loc_cols = jnp.stack(
         [
