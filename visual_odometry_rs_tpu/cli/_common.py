@@ -22,3 +22,25 @@ def apply_compilation_cache(args) -> None:
 
         jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def parse_level_iterations(spec, nb_levels: int):
+    """Parse ``--level-iterations "N0,N1,..."`` into a per-level tuple.
+
+    ``None``/empty returns ``None`` (reference-exact single cap).  Raises
+    ``SystemExit`` with a usage message on malformed input, like argparse.
+    """
+    if not spec:
+        return None
+    try:
+        caps = tuple(int(tok) for tok in str(spec).split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--level-iterations must be comma-separated integers, got {spec!r}"
+        )
+    if len(caps) != nb_levels or any(c < 1 for c in caps):
+        raise SystemExit(
+            f"--level-iterations needs {nb_levels} caps >= 1 (one per "
+            f"pyramid level, finest first), got {spec!r}"
+        )
+    return caps

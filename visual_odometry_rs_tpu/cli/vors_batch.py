@@ -90,6 +90,40 @@ def main(argv=None) -> int:
         "the pose — for auto-exposure cameras",
     )
     parser.add_argument(
+        "--candidate-selector", choices=["coarse_to_fine", "dso_fixed"],
+        default="coarse_to_fine",
+        help="keyframe candidate picker: coarse_to_fine (the reference "
+        "tracker's selector) or dso_fixed (recursion-free DSO at a static "
+        "--dso-block-size; the host-recursion 'dso' variant is streaming-"
+        "Tracker-only — this fused driver runs its keyframe precompute "
+        "in-graph)",
+    )
+    parser.add_argument(
+        "--dso-target", type=int, default=2000,
+        help="dso_fixed: point-count target for the random-thinning ratio",
+    )
+    parser.add_argument(
+        "--dso-block-size", type=int, default=4,
+        help="dso_fixed: the static block size (4 = the DSO-paper base)",
+    )
+    parser.add_argument(
+        "--dso-a", type=float, default=1.0,
+        help="DSO regional threshold coefficient a (lower on weak texture; "
+        "see docs/PERF.md 'Candidate selectors')",
+    )
+    parser.add_argument(
+        "--warm-start", choices=["constant_position", "constant_velocity"],
+        default="constant_position",
+        help="per-frame LM init: constant_position is reference-exact "
+        "(inverse_compositional.rs:177); constant_velocity extrapolates the "
+        "previous inter-frame motion, cutting LM iterations on smooth video",
+    )
+    parser.add_argument(
+        "--level-iterations", metavar="N0,N1,...", default=None,
+        help="comma-separated per-level LM iteration caps (finest first, "
+        "one per pyramid level); default: the reference's 20 at every level",
+    )
+    parser.add_argument(
         "--save-state", metavar="PATH",
         help="checkpoint the batched serving state (TrackState + cadence "
         "carry + relocalization ring) to PATH after every chunk and at the "
@@ -167,6 +201,14 @@ def main(argv=None) -> int:
         brightness_model=args.brightness_model,
         relocalize_window=max(0, args.relocalize),
         relocalize_energy_accept=args.relocalize_energy,
+        candidate_selector=args.candidate_selector,
+        dso_target=args.dso_target,
+        dso_block_size=args.dso_block_size,
+        dso_threshold_coef_a=args.dso_a,
+        warm_start=args.warm_start,
+        level_max_iterations=_common.parse_level_iterations(
+            args.level_iterations, args.nb_levels
+        ),
     )
 
     # batch axis over the data mesh when it divides the device count
@@ -189,16 +231,19 @@ def main(argv=None) -> int:
     # and pending switch flags survive chunk boundaries (round-2 advisor
     # finding), without retracing per chunk.
     reloc_on = config.relocalize_window > 0
+    vel_on = config.warm_start == "constant_velocity"
 
     @jax.jit
-    def run_clip(s, dd, gg, pending, offset, rng):
+    def run_clip(s, dd, gg, pending, offset, rng, prev):
         outs = batch_mod.batched_track_sequence(
             config, intrinsics, s, dd, gg,
             switch_cadence=args.switch_cadence,
             switch_subbatch=args.switch_subbatch,
             pending0=pending, frame_offset=offset, return_pending=True,
             reloc_ring=rng if reloc_on else None,
+            prev_pose0=prev if vel_on else None, return_prev=True,
         )
+        # normalize to (final, out, pending, prev, ring)
         if reloc_on:
             return outs
         return outs + (rng,)
@@ -228,6 +273,7 @@ def main(argv=None) -> int:
 
     frame_idx = 0
     pending = jnp.zeros((B,), bool)
+    prev = state.current_pose  # zero velocity at start
     ring = (
         jax.jit(lambda s: batch_mod.batched_init_ring(config, s))(state)
         if reloc_on else jnp.int32(0)
@@ -238,7 +284,8 @@ def main(argv=None) -> int:
     out_mode = "w"
     if args.resume:
         try:
-            state_r, pending, ring_r, frame_idx, lane_ts = checkpoint_mod.load_batch(
+            (state_r, pending, ring_r, frame_idx, lane_ts,
+             prev_r) = checkpoint_mod.load_batch(
                 args.resume, state, ring if reloc_on else None,
                 config, intrinsics, args.switch_cadence,
             )
@@ -266,10 +313,14 @@ def main(argv=None) -> int:
         state = state_r
         if reloc_on:
             ring = ring_r
+        if vel_on and prev_r is not None:
+            prev = prev_r
         if mesh is not None:
             state = mesh_mod.shard_batch(state, mesh)
             if reloc_on:
                 ring = mesh_mod.shard_batch(ring, mesh)
+            if vel_on:
+                prev = mesh_mod.shard_batch(prev, mesh)
         # fast-forward the decode loaders past the consumed frames, keeping
         # each lane's last frame (finished lanes keep receiving it)
         for b in range(B):
@@ -325,6 +376,7 @@ def main(argv=None) -> int:
         checkpoint_mod.save_batch(
             args.save_state, state, pending, ring if reloc_on else None,
             next_frame_idx, config, intrinsics, args.switch_cadence, lane_ts,
+            prev_pose=prev if vel_on else None,
         )
 
     outs = [open(os.path.join(args.out_dir, n), out_mode) for n in names]
@@ -345,8 +397,8 @@ def main(argv=None) -> int:
             sh = NamedSharding(mesh, P(None, "data"))
             dd = jax.device_put(dd, sh)
             gg = jax.device_put(gg, sh)
-        state, (poses, diags), pending, ring = run_clip(
-            state, dd, gg, pending, jnp.int32(frame_idx), ring
+        state, (poses, diags), pending, prev, ring = run_clip(
+            state, dd, gg, pending, jnp.int32(frame_idx), ring, prev
         )
         q = np.asarray(poses.q)
         t = np.asarray(poses.t)

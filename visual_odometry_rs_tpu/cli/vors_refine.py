@@ -36,6 +36,30 @@ def main(argv=None) -> int:
     parser.add_argument("camera_id", choices=["fr1", "fr2", "fr3", "icl"])
     parser.add_argument("associations_file")
     parser.add_argument("trajectory_file")
+    parser.add_argument(
+        "extra_pairs", nargs="*", metavar="ASSOC TRAJ",
+        help="--batch mode: additional associations/trajectory file pairs "
+        "(one pair per extra lane)",
+    )
+    parser.add_argument(
+        "--batch", action="store_true",
+        help="refine ALL given (associations, trajectory) pairs together in "
+        "lockstep with ONE vmapped marginalized-window solve per step "
+        "(models.sliding_window.BatchedSlidingWindow) — the data-parallel "
+        "refinement mode; requires --out-dir, writes one refined TUM "
+        "trajectory per lane.  When the lane count divides the local device "
+        "count, the lane axis is sharded over a 'data' mesh (SPMD)",
+    )
+    parser.add_argument(
+        "--out-dir", metavar="DIR",
+        help="--batch mode: output directory for per-lane refined "
+        "trajectories (named after each association file's parent directory)",
+    )
+    parser.add_argument(
+        "--max-frames", type=int, default=0, metavar="N",
+        help="--batch mode: stop after the first N global frames (0 = all) — "
+        "slice long runs into restartable pieces with --save-state/--resume",
+    )
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--window", type=int, default=6)
     parser.add_argument(
@@ -116,12 +140,36 @@ def main(argv=None) -> int:
         parser.error("--save-state/--resume require --mode sliding")
     if args.mode != "sliding" and args.export_cloud:
         parser.error("--export-cloud requires --mode sliding")
+    if args.extra_pairs and not args.batch:
+        parser.error("extra associations/trajectory pairs require --batch")
+    if args.batch:
+        if len(args.extra_pairs) % 2 != 0:
+            parser.error(
+                "--batch needs an even number of extra positionals "
+                "(ASSOC TRAJ pairs)"
+            )
+        if not args.out_dir:
+            parser.error("--batch requires --out-dir")
+        if args.mode != "sliding":
+            parser.error("--batch supports --mode sliding only")
+        if args.export_cloud:
+            parser.error(
+                "--export-cloud is not available in --batch mode (use "
+                "per-sequence vors_refine runs for map export)"
+            )
 
     _common.apply_compilation_cache(args)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.batch:
+        pairs = [(args.associations_file, args.trajectory_file)] + [
+            (args.extra_pairs[i], args.extra_pairs[i + 1])
+            for i in range(0, len(args.extra_pairs), 2)
+        ]
+        return _run_batched(args, pairs)
 
     import jax
     import jax.numpy as jnp
@@ -386,6 +434,223 @@ def main(argv=None) -> int:
         print(
             tum_rgbd.Frame(timestamp=assoc.depth_timestamp, pose=pose).to_string()
         )
+    return 0
+
+
+def _run_batched(args, pairs) -> int:
+    """Lockstep data-parallel refinement of B (associations, trajectory)
+    pairs: one ``BatchedSlidingWindow.add_frame`` per global frame index —
+    each step is ONE vmapped coarse+full marginalized-window solve across
+    all lanes (plus one vmapped marginalization / keyframe precompute when
+    due), instead of B per-sequence host loops.
+
+    Lanes may have different lengths: finished lanes keep receiving their
+    final frame (flow ~0, prior intact) and stop emitting output lines —
+    the same convention as ``vors_batch``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dataset import tum_rgbd
+    from ..math import pose as pose_mod
+    from ..math.pose import Pose
+    from ..models import sliding_window, tracker as tracker_mod
+    from ..parallel import mesh as mesh_mod
+    from ..utils import checkpoint as ckpt_mod
+    from .vors_batch import _out_name
+
+    B = len(pairs)
+    all_assocs, all_c2w = [], []
+    for ap, tp in pairs:
+        try:
+            assocs = tum_rgbd.load_associations(ap)
+            with open(tp) as f:
+                traj = tum_rgbd.parse_trajectory(f.read())
+        except OSError as e:
+            print(f"Cannot read inputs: {e}", file=sys.stderr)
+            return 1
+        if not assocs:
+            print(f"Empty associations file: {ap}", file=sys.stderr)
+            return 1
+        if len(traj) != len(assocs) - 1:
+            print(
+                f"{tp}: trajectory has {len(traj)} lines; expected "
+                f"{len(assocs) - 1} (one per association after the first)",
+                file=sys.stderr,
+            )
+            return 1
+        all_assocs.append(assocs)
+        all_c2w.append([pose_mod.identity()] + [f.pose for f in traj])
+
+    first = [tum_rgbd.read_images(a[0]) for a in all_assocs]
+    shapes = {g.shape for _, g in first}
+    if len(shapes) != 1:
+        print(f"All lanes must share one image shape, got {shapes}", file=sys.stderr)
+        return 1
+    h, w = next(iter(shapes))
+    intrinsics = tum_rgbd.scaled_intrinsics(args.camera_id, h, w)
+    if (h, w) != (tum_rgbd.NATIVE_HEIGHT, tum_rgbd.NATIVE_WIDTH):
+        print(f"note: {args.camera_id} intrinsics rescaled to {w}x{h} inputs", file=sys.stderr)
+    config = tracker_mod.TrackerConfig(
+        height=h, width=w, nb_levels=args.nb_levels,
+        candidate_cap=args.candidate_cap, depth_scale=tum_rgbd.DEPTH_SCALE,
+    )
+
+    mesh = None
+    n_dev = jax.local_device_count()
+    if B % n_dev == 0 and n_dev > 1:
+        mesh = mesh_mod.make_mesh((n_dev,), ("data",))
+        print(f"sharding {B} lanes over {n_dev} devices", file=sys.stderr)
+
+    bsw = sliding_window.BatchedSlidingWindow(
+        config, intrinsics,
+        window_size=max(2, args.window),
+        marginalize=not args.no_marginalization,
+        coarse_level=args.coarse_level,
+        max_iterations=args.max_iterations,
+        idepth_prior_weight=args.idepth_prior_weight,
+        energy_tol=args.energy_tol,
+        interp_method=args.interp,
+        robust_delta=args.robust_delta,
+        brightness=args.brightness_model,
+        mesh=mesh,
+    )
+
+    lengths = [len(a) - 1 for a in all_assocs]
+    max_len = max(lengths)
+    stop_at = min(max_len, args.max_frames) if args.max_frames > 0 else max_len
+    T = max_len + 1
+    refined = [[None] * (lengths[b] + 1) for b in range(B)]
+    loaders = [iter(tum_rgbd.frame_loader(a)) for a in all_assocs]
+    last = [None] * B
+
+    def _extra():
+        q = np.zeros((B, T, 4), np.float32)
+        t = np.zeros((B, T, 3), np.float32)
+        mask = np.zeros((B, T), bool)
+        ts = np.full((B, T), np.nan, np.float64)
+        for b in range(B):
+            for fid, p in enumerate(refined[b]):
+                if p is not None:
+                    q[b, fid] = np.asarray(p.q)
+                    t[b, fid] = np.asarray(p.t)
+                    mask[b, fid] = True
+            k = min(bsw._next_id, lengths[b] + 1)
+            ts[b, :k] = [a.depth_timestamp for a in all_assocs[b][:k]]
+        return {"refined_q": q, "refined_t": t, "refined_mask": mask,
+                "consumed_ts": ts}
+
+    start_at = 1
+    if args.resume:
+        try:
+            extra = ckpt_mod.load_batched_window(args.resume, bsw)
+        except (ckpt_mod.CheckpointMismatchError, OSError, KeyError,
+                ValueError) as e:
+            print(f"Cannot resume: {e}", file=sys.stderr)
+            return 1
+        start_at = bsw._next_id
+        saved_ts = extra.get("consumed_ts")
+        if saved_ts is not None:
+            if saved_ts.shape[0] != B:
+                print(
+                    f"Cannot resume: checkpoint has {saved_ts.shape[0]} "
+                    f"lanes, {B} pairs given", file=sys.stderr,
+                )
+                return 1
+            for b in range(B):
+                prefix = saved_ts[b][~np.isnan(saved_ts[b])]
+                if not ckpt_mod.sequence_matches(prefix, all_assocs[b]):
+                    print(
+                        f"Cannot resume: lane {b} ({pairs[b][0]}) does not "
+                        "match the checkpoint's consumed frames — resume "
+                        "with the SAME pairs in the SAME order",
+                        file=sys.stderr,
+                    )
+                    return 1
+        if "refined_mask" in extra:
+            for b in range(B):
+                for fid in range(min(T, extra["refined_mask"].shape[1])):
+                    if fid <= lengths[b] and extra["refined_mask"][b, fid]:
+                        refined[b][fid] = Pose(
+                            jnp.asarray(extra["refined_q"][b, fid]),
+                            jnp.asarray(extra["refined_t"][b, fid]),
+                        )
+        for b in range(B):
+            for _ in range(min(start_at, lengths[b] + 1)):
+                last[b] = next(loaders[b])
+        print(
+            f"resumed {B} lanes at global frame {start_at}", file=sys.stderr
+        )
+    else:
+        for b in range(B):
+            last[b] = next(loaders[b])  # frame 0
+        c2w0 = Pose(
+            jnp.stack([all_c2w[b][0].q for b in range(B)]),
+            jnp.stack([all_c2w[b][0].t for b in range(B)]),
+        )
+        bsw.start(
+            np.stack([d for d, _ in last]), np.stack([g for _, g in last]),
+            c2w0,
+        )
+        for b in range(B):
+            refined[b][0] = all_c2w[b][0]
+
+    for i in range(start_at, stop_at + 1):
+        for b in range(B):
+            if i <= lengths[b]:
+                last[b] = next(loaders[b])
+        depths = np.stack([d for d, _ in last])
+        grays = np.stack([g for _, g in last])
+        inits = [all_c2w[b][min(i, lengths[b])] for b in range(B)]
+        c2w_i = Pose(
+            jnp.stack([p.q for p in inits]), jnp.stack([p.t for p in inits])
+        )
+        ids, poses_ref = bsw.add_frame(depths, grays, c2w_i)
+        qs = np.asarray(poses_ref.q)
+        ts = np.asarray(poses_ref.t)
+        for b in range(B):
+            for slot in range(ids.shape[0]):
+                fid = int(ids[slot, b])
+                if fid <= lengths[b]:
+                    refined[b][fid] = Pose(
+                        jnp.asarray(qs[b, slot]), jnp.asarray(ts[b, slot])
+                    )
+        print(
+            f"frame {i}: window {int(ids[:, 0].min())}..{int(ids[:, 0].max())}"
+            f", keyframe switches {list(map(int, bsw.keyframe_switches))}",
+            file=sys.stderr,
+        )
+        if args.save_state and (
+            (i - start_at + 1) % max(1, args.save_every) == 0 or i == stop_at
+        ):
+            ckpt_mod.save_batched_window(args.save_state, bsw, _extra())
+            print(f"checkpointed batched window state to {args.save_state}",
+                  file=sys.stderr)
+
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    names, seen = [], {}
+    for ap, _ in pairs:
+        name = _out_name(ap)
+        if name in seen:
+            seen[name] += 1
+            stem, ext = os.path.splitext(name)
+            name = f"{stem}.{seen[name]}{ext}"
+        else:
+            seen[name] = 0
+        names.append(name)
+    for b, name in enumerate(names):
+        with open(os.path.join(args.out_dir, name), "w") as fh:
+            for fid, assoc in enumerate(all_assocs[b][1:], start=1):
+                pose = refined[b][fid] if refined[b][fid] is not None else all_c2w[b][fid]
+                fh.write(
+                    tum_rgbd.Frame(
+                        timestamp=assoc.depth_timestamp, pose=pose
+                    ).to_string() + "\n"
+                )
+    print(f"wrote {B} refined trajectories to {args.out_dir}", file=sys.stderr)
     return 0
 
 

@@ -44,15 +44,29 @@ def main(argv=None) -> int:
         "(0 = reference-exact L2)",
     )
     parser.add_argument(
-        "--candidate-selector", choices=["coarse_to_fine", "dso"],
+        "--candidate-selector", choices=["coarse_to_fine", "dso", "dso_fixed"],
         default="coarse_to_fine",
         help="keyframe candidate picker: coarse_to_fine (the reference "
-        "tracker's selector) or dso (the faithful DSO point picker, "
-        "dso.rs:98-147; host-side recursion, so not available with --chunk)",
+        "tracker's selector), dso (the faithful DSO point picker, "
+        "dso.rs:98-147; host-side recursion, so not available with --chunk) "
+        "or dso_fixed (recursion-free DSO at a static --dso-block-size — "
+        "jittable, available with --chunk and in vors_batch)",
     )
     parser.add_argument(
         "--dso-target", type=int, default=2000,
-        help="DSO selector point-count target (block size adapts toward it)",
+        help="DSO selector point-count target (dso: block size adapts "
+        "toward it; dso_fixed: sets the random-thinning ratio)",
+    )
+    parser.add_argument(
+        "--dso-block-size", type=int, default=4,
+        help="dso_fixed: the static block size (the dso recursion's "
+        "adaptation target; 4 is the DSO-paper base)",
+    )
+    parser.add_argument(
+        "--dso-a", type=float, default=1.0,
+        help="DSO regional threshold coefficient a in a*(mean3x3(median)+b)^2 "
+        "(dso.rs:74: '(2.0,3) in dso and (1.0,3) in ldso'); lower it on "
+        "weakly-textured scenes — see docs/PERF.md 'Candidate selectors'",
     )
     parser.add_argument(
         "--brightness-model", action="store_true",
@@ -69,6 +83,18 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--relocalize-energy", type=float, default=150.0,
         help="mean squared intensity above which a frame counts as lost",
+    )
+    parser.add_argument(
+        "--warm-start", choices=["constant_position", "constant_velocity"],
+        default="constant_position",
+        help="per-frame LM init: constant_position is reference-exact "
+        "(inverse_compositional.rs:177); constant_velocity extrapolates the "
+        "previous inter-frame motion, cutting LM iterations on smooth video",
+    )
+    parser.add_argument(
+        "--level-iterations", metavar="N0,N1,...", default=None,
+        help="comma-separated per-level LM iteration caps (finest first, "
+        "one per pyramid level); default: the reference's 20 at every level",
     )
     parser.add_argument(
         "--metrics", action="store_true",
@@ -144,6 +170,12 @@ def main(argv=None) -> int:
         relocalize_energy_accept=args.relocalize_energy,
         candidate_selector=args.candidate_selector,
         dso_target=args.dso_target,
+        dso_block_size=args.dso_block_size,
+        dso_threshold_coef_a=args.dso_a,
+        warm_start=args.warm_start,
+        level_max_iterations=_common.parse_level_iterations(
+            args.level_iterations, args.nb_levels
+        ),
     )
     if args.chunk > 0:
         if args.candidate_selector == "dso":
@@ -282,10 +314,14 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
     state = jax.jit(
         lambda d, g: batch_mod.init_state(config, intrinsics, d, g)
     )(jnp.asarray(depth0), jnp.asarray(gray0))
+    # constant-velocity carry across chunk boundaries (zero velocity at start)
+    prev_box = [state.current_pose]
 
     @jax.jit
-    def run_clip(s, dd, gg):
-        return batch_mod.track_sequence(config, intrinsics, s, dd, gg)
+    def run_clip(s, dd, gg, prev):
+        return batch_mod.track_sequence(
+            config, intrinsics, s, dd, gg, prev_pose0=prev, return_prev=True
+        )
 
     buf_d, buf_g, buf_assoc = [], [], []
 
@@ -295,7 +331,9 @@ def _run_chunked(args, config, intrinsics, associations, depth0, gray0) -> int:
         dd = jnp.asarray(np.stack(buf_d))
         gg = jnp.asarray(np.stack(buf_g))
         with metrics_mod.Timer() as timer:
-            state, (poses, diags) = run_clip(state, dd, gg)
+            state, (poses, diags), prev_box[0] = run_clip(
+                state, dd, gg, prev_box[0]
+            )
             q = np.asarray(poses.q)
         t = np.asarray(poses.t)
         flows = np.asarray(diags.flow)

@@ -221,6 +221,65 @@ def _select_once(
     return _pick_all(gradients, thresh, block_size, nb_levels, threshold_factor, region_size)
 
 
+def select_fixed_block(
+    gradients: jnp.ndarray,
+    nb_target: int,
+    *,
+    block_size: int = 4,
+    region_config: RegionConfig = RegionConfig(),
+    block_config: BlockConfig = BlockConfig(),
+    recursive_config: RecursiveConfig = RecursiveConfig(),
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Recursion-free DSO selection at a STATIC block size — fully jittable.
+
+    The full ``select`` adapts ``block_size`` toward ``nb_target`` with a
+    host-side recursion on the measured candidate count (dso.rs:117-139),
+    which cannot run inside ``precompute_keyframe`` under jit.  This variant
+    freezes the block size (the recursion is ≤``nb_iterations_left``=1 deep
+    and usually a no-op once a scene-appropriate size is known) but KEEPS
+    the reference's random thinning in-graph: the over-selection ratio and
+    the keep-probability cutoff ``int(255 / ratio)`` (dso.rs:140-143) are
+    traced values, so thinning needs no host decision.  Matches ``select``
+    bit-for-bit whenever the host recursion does not fire (same block size,
+    same key) — pinned by ``tests/test_dso.py``.
+
+    This is the carrier that makes ``candidate_selector="dso_fixed"``
+    available to the fused in-graph drivers (``--chunk``, ``vors_batch``),
+    where the host ``select`` cannot run.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    thresholds = region_thresholds(
+        region_median_gradients(gradients, region_config.size),
+        region_config.threshold_coef_a,
+        region_config.threshold_coef_b,
+    )
+    total, picked = _pick_all(
+        gradients,
+        thresholds,
+        block_size,
+        block_config.nb_levels,
+        block_config.threshold_factor,
+        region_config.size,
+    )
+    mask = picked > 0
+    rec = recursive_config
+    ratio = total.astype(Float) / float(nb_target)
+    # reference thinning: keep where rnd <= int(255 / ratio) (dso.rs:140-143)
+    # — applied only when random_thresh < ratio AND the count sits inside the
+    # (low, high) bounds; out-of-bounds counts return UNthinned in the
+    # reference (its recursion epilogue), and equality with the host
+    # ``select`` at nb_iterations_left=0 preserves that branch shape
+    rnd = jax.random.randint(key, mask.shape, 0, 256, jnp.int32)
+    cutoff = jnp.floor(255.0 / jnp.maximum(ratio, 1e-9)).astype(jnp.int32)
+    thin = jnp.logical_and(
+        ratio > rec.random_thresh,
+        jnp.logical_and(ratio >= rec.low_thresh, ratio <= rec.high_thresh),
+    )
+    return jnp.where(thin, mask & (rnd <= cutoff), mask)
+
+
 def select(
     gradients: jnp.ndarray,
     nb_target: int,

@@ -610,6 +610,7 @@ class BatchedSlidingWindow:
         self.intrinsics = intrinsics
         self.window_size = window_size
         self.marginalize = marginalize
+        self.switch_transfer = True  # the only policy (class invariant)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self._solve_opts = dict(

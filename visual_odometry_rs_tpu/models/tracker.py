@@ -66,6 +66,25 @@ class TrackerConfig:
     lm_coef_init: float = 0.1
     max_iterations: int = 20
     energy_tol: float = 1.0
+    # Per-level LM iteration budgets (green-field; the reference uses one
+    # cap of 20 for every level, lm_optimizer.rs:157).  Tuple indexed by
+    # pyramid level (0 = finest), length nb_levels; None = ``max_iterations``
+    # everywhere (reference-exact).  The coarse levels only seed the next
+    # level's init, so their budget can often be cut without ATE cost —
+    # measured per-budget on TPU in docs/PERF.md (round 5).
+    level_max_iterations: Tuple[int, ...] | None = None
+    # Per-frame LM warm start (inverse_compositional.rs:177 initializes each
+    # frame's model from the PREVIOUS frame's pose — constant-position).
+    # "constant_velocity" extrapolates the previous inter-frame motion
+    # (``pred = cur ∘ (prev⁻¹ ∘ cur)``, the standard DSO-class motion
+    # prior), cutting sequential LM iterations on smooth trajectories.
+    # Applies to the host ``Tracker`` and the fused scan drivers
+    # (``parallel.batch.track_sequence`` / ``batched_track_sequence``),
+    # which carry the previous pose; the stateless per-step drivers
+    # (``track_step``) keep the reference init.  After a failure or
+    # relocalization the velocity resets to zero (constant-position) for
+    # one frame.
+    warm_start: str = "constant_position"
     # keyframe switch threshold in px of mean optical flow
     # (inverse_compositional.rs:224)
     flow_threshold: float = 1.0
@@ -110,14 +129,20 @@ class TrackerConfig:
     relocalize_energy_accept: float = 150.0
     relocalize_min_inside_frac: float = 0.5
     # candidate selection algorithm for keyframe precompute:
-    # "coarse_to_fine" (reference tracker's selector, coarse_to_fine.rs:15)
-    # or "dso" (the faithful DSO picker, dso.rs:98-147 — host-side Tracker
+    # "coarse_to_fine" (reference tracker's selector, coarse_to_fine.rs:15),
+    # "dso" (the faithful DSO picker, dso.rs:98-147 — host-side Tracker
     # only: its block-size recursion is a data-dependent host decision, so
-    # the fused in-graph drivers (parallel.batch, --chunk) reject it).
+    # the fused in-graph drivers (parallel.batch, --chunk) reject it), or
+    # "dso_fixed" (round 5: the recursion-free DSO variant at the STATIC
+    # ``dso_block_size`` — jittable, so it IS available to the fused
+    # in-graph drivers; identical to "dso" whenever the host recursion does
+    # not fire, and it keeps the reference's random thinning in-graph).
     # ``dso_target`` is the DSO point-count target (examples/README.md
-    # uses 2000; the recursion adapts block size toward it).
+    # uses 2000; the "dso" recursion adapts block size toward it, while
+    # "dso_fixed" uses it only for the thinning ratio).
     candidate_selector: str = "coarse_to_fine"
     dso_target: int = 2000
+    dso_block_size: int = 4
     # DSO regional threshold ``a (mean3x3(median) + b)^2`` coefficients
     # (dso.rs:37-42; the reference notes "(2.0,3) in dso and (1.0,3) in
     # ldso").  On weakly-textured scenes the block maxima sit below the
@@ -127,6 +152,17 @@ class TrackerConfig:
 
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         return tuple(pyramid_ops.level_shapes(self.height, self.width, self.nb_levels))
+
+    def level_iterations(self, lvl: int) -> int:
+        """LM iteration cap for pyramid level ``lvl`` (0 = finest)."""
+        if self.level_max_iterations is None:
+            return self.max_iterations
+        if len(self.level_max_iterations) != self.nb_levels:
+            raise ValueError(
+                f"level_max_iterations must have nb_levels={self.nb_levels} "
+                f"entries, got {len(self.level_max_iterations)}"
+            )
+        return self.level_max_iterations[lvl]
 
     def level_caps(self) -> Tuple[int, ...]:
         return tuple(
@@ -446,16 +482,33 @@ def precompute_keyframe(
             raise ValueError(
                 "candidate_selector='dso' requires a host-side selection "
                 "pass (core.candidates.dso.select is a data-dependent "
-                "host recursion): use the host Tracker, or pass "
-                "finest_mask= explicitly.  The fused in-graph drivers "
-                "(parallel.batch, --chunk) support coarse_to_fine only."
+                "host recursion): use the host Tracker, pass finest_mask= "
+                "explicitly, or use 'dso_fixed' (the recursion-free "
+                "in-graph variant at a static block size).  The fused "
+                "in-graph drivers (parallel.batch, --chunk) support "
+                "coarse_to_fine and dso_fixed."
             )
-        if config.candidate_selector != "coarse_to_fine":
+        if config.candidate_selector == "dso_fixed":
+            from ..core.candidates import dso as dso_mod
+
+            finest_mask = dso_mod.select_fixed_block(
+                gradient_ops.norm_direct(img_pyramid[0]),
+                config.dso_target,
+                block_size=config.dso_block_size,
+                region_config=dso_mod.RegionConfig(
+                    threshold_coef_a=config.dso_threshold_coef_a,
+                    threshold_coef_b=config.dso_threshold_coef_b,
+                ),
+            )
+        elif config.candidate_selector == "coarse_to_fine":
+            sqn = [gradient_ops.squared_norm_f32(gx, gy) for gx, gy in grads]
+            finest_mask = coarse_to_fine.select(
+                config.candidates_diff_threshold, sqn
+            )[-1]
+        else:
             raise ValueError(
                 f"unknown candidate_selector {config.candidate_selector!r}"
             )
-        sqn = [gradient_ops.squared_norm_f32(gx, gy) for gx, gy in grads]
-        finest_mask = coarse_to_fine.select(config.candidates_diff_threshold, sqn)[-1]
 
     id0 = idepth_mod.masked(
         idepth_mod.from_depth(config.depth_scale, depth_map, config.idepth_variance),
@@ -713,10 +766,40 @@ def solve_level_brightness(
 # ---------------------------------------------------------------------------
 
 
+def warm_start_init(
+    config: TrackerConfig, keyframe_pose: Pose, current_pose: Pose,
+    prev_pose: Pose | None = None,
+) -> Pose:
+    """Initial keyframe→frame model for the next track.
+
+    ``constant_position`` (reference-exact, inverse_compositional.rs:177):
+    start from the previous frame's pose, ``model = cur⁻¹ ∘ kfp``.
+    ``constant_velocity``: extrapolate the previous inter-frame motion —
+    ``pred = cur ∘ (prev⁻¹ ∘ cur)`` (right-composition motion prior), then
+    ``model = pred⁻¹ ∘ kfp``.  With ``prev == cur`` (start of sequence,
+    post-failure, post-relocalization) the prediction degenerates exactly
+    to constant-position.
+    """
+    if config.warm_start == "constant_position" or prev_pose is None:
+        if config.warm_start not in ("constant_position", "constant_velocity"):
+            raise ValueError(f"unknown warm_start {config.warm_start!r}")
+        return pose_mod.compose(pose_mod.inverse(current_pose), keyframe_pose)
+    if config.warm_start != "constant_velocity":
+        raise ValueError(f"unknown warm_start {config.warm_start!r}")
+    vel = pose_mod.compose(pose_mod.inverse(prev_pose), current_pose)
+    pred = pose_mod.renormalize_first_order(pose_mod.compose(current_pose, vel))
+    return pose_mod.compose(pose_mod.inverse(pred), keyframe_pose)
+
+
 class TrackResult(NamedTuple):
     model: Pose  # keyframe → current-frame motion estimate
     failed: jnp.ndarray  # bool: some level's Cholesky failed
     flow: jnp.ndarray  # mean abs optical flow at coarsest level (px)
+    # per-level LM iteration counts, (nb_levels,) int32 indexed by level
+    # (0 = finest) — observability for the warm-start/iteration-budget
+    # tuning (docs/PERF.md round 5); the counts come straight out of the
+    # while_loop carries, so exposing them costs nothing
+    nb_iters: jnp.ndarray
 
 
 def track_frame(
@@ -735,13 +818,14 @@ def track_frame(
         return _track_frame_brightness(config, kf, img_pyramid, init_model)
     model = init_model
     failed = jnp.asarray(False)
+    nb_iters = [None] * config.nb_levels
     for lvl in reversed(range(config.nb_levels)):
         result = solve_level(
             kf.levels[lvl],
             img_pyramid[lvl],
             model,
             lm_coef_init=config.lm_coef_init,
-            max_iterations=config.max_iterations,
+            max_iterations=config.level_iterations(lvl),
             energy_tol=config.energy_tol,
             interp_method=config.interp_method,
             robust_delta=config.robust_delta,
@@ -753,6 +837,7 @@ def track_frame(
             model,
         )
         failed = jnp.logical_or(failed, result.failed)
+        nb_iters[lvl] = result.nb_iter
 
     # Optical-flow keyframe criterion at the coarsest level
     # (inverse_compositional.rs:211-222): mean |Δu| + |Δv| over candidates.
@@ -761,7 +846,9 @@ def track_frame(
     dflow = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
     validf = coarse.valid.astype(Float)
     flow = jnp.sum(dflow * validf) / jnp.sum(validf)
-    return TrackResult(model=model, failed=failed, flow=flow)
+    return TrackResult(
+        model=model, failed=failed, flow=flow, nb_iters=jnp.stack(nb_iters)
+    )
 
 
 def _track_frame_brightness(
@@ -777,13 +864,14 @@ def _track_frame_brightness(
     path (pose only — brightness is per-frame nuisance state)."""
     state = BrightnessState(pose=init_model, ab=jnp.array([1.0, 0.0], Float))
     failed = jnp.asarray(False)
+    nb_iters = [None] * config.nb_levels
     for lvl in reversed(range(config.nb_levels)):
         result = solve_level_brightness(
             kf.levels[lvl],
             img_pyramid[lvl],
             state,
             lm_coef_init=config.lm_coef_init,
-            max_iterations=config.max_iterations,
+            max_iterations=config.level_iterations(lvl),
             energy_tol=config.energy_tol,
             interp_method=config.interp_method,
             robust_delta=config.robust_delta,
@@ -794,6 +882,7 @@ def _track_frame_brightness(
             state,
         )
         failed = jnp.logical_or(failed, result.failed)
+        nb_iters[lvl] = result.nb_iter
 
     coarse = kf.levels[-1]
     u, v = camera_mod.warp(
@@ -802,7 +891,9 @@ def _track_frame_brightness(
     dflow = jnp.abs(coarse.xs - u) + jnp.abs(coarse.ys - v)
     validf = coarse.valid.astype(Float)
     flow = jnp.sum(dflow * validf) / jnp.sum(validf)
-    return TrackResult(model=state.pose, failed=failed, flow=flow)
+    return TrackResult(
+        model=state.pose, failed=failed, flow=flow, nb_iters=jnp.stack(nb_iters)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -868,9 +959,9 @@ class Tracker:
         # Everything stays on-device; the only host sync per frame is the
         # single (2,) diagnostics fetch in ``track`` (critical over remote
         # TPU transports, where every un-jitted op is a round trip).
-        def _step(kf, img, kf_pose, cur_pose):
+        def _step(kf, img, kf_pose, cur_pose, prev_pose):
             pyr = pyramid_ops.mean_pyramid(config.nb_levels, img)
-            init_model = pose_mod.compose(pose_mod.inverse(cur_pose), kf_pose)
+            init_model = warm_start_init(config, kf_pose, cur_pose, prev_pose)
             result = track_frame(config, kf, pyr, init_model)
             proposed = pose_mod.compose(kf_pose, pose_mod.inverse(result.model))
             new_current = jax.tree_util.tree_map(
@@ -902,6 +993,9 @@ class Tracker:
         self.keyframe_depth_timestamp = depth_timestamp
         self.keyframe_img_timestamp = img_timestamp
         self.current_pose = pose_mod.identity()
+        # previous frame's pose, for the constant-velocity warm start
+        # (== current_pose → zero velocity → constant-position behavior)
+        self.prev_pose = self.current_pose
         self.current_depth_timestamp = depth_timestamp
         self.current_img_timestamp = img_timestamp
         # per-frame diagnostics (metrics/observability; SURVEY §5)
@@ -930,14 +1024,20 @@ class Tracker:
         import numpy as np
 
         new_current, diag, pyr = self._step(
-            self.keyframe_data, img, self.keyframe_pose, self.current_pose
+            self.keyframe_data, img, self.keyframe_pose, self.current_pose,
+            self.prev_pose,
         )
         diag_host = np.asarray(diag)  # the one device→host sync per frame
 
         self.current_depth_timestamp = depth_timestamp
         self.current_img_timestamp = img_timestamp
+        self.prev_pose = self.current_pose
         self.current_pose = new_current
         self.last_failed = bool(diag_host[1])
+        if self.last_failed:
+            # pose kept; zero the velocity so the next init is the
+            # reference's constant-position start from a known-good pose
+            self.prev_pose = self.current_pose
         self.last_flow = float(diag_host[0])
         self.last_energy = float(diag_host[2])
 
@@ -948,8 +1048,10 @@ class Tracker:
         ):
             # lost track: try to recover against the keyframe ring; whether
             # or not recovery succeeds, never let an untrackable frame
-            # become the map anchor (suppress the flow-criterion switch)
+            # become the map anchor (suppress the flow-criterion switch).
+            # Velocity is meaningless across a lost frame — zero it.
             self._try_relocalize(pyr)
+            self.prev_pose = self.current_pose
             return
 
         if self.last_flow >= self.config.flow_threshold:

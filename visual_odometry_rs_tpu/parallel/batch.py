@@ -50,6 +50,9 @@ class StepDiagnostics(NamedTuple):
     # lanes recovered by in-graph relocalization this frame (always present;
     # all-False unless a RelocRing is threaded through the scan)
     relocalized: jnp.ndarray
+    # per-level LM iteration counts, (..., nb_levels) int32 (0 = finest) —
+    # the warm-start/iteration-budget observability (docs/PERF.md round 5)
+    nb_iters: jnp.ndarray
 
 
 class RelocRing(NamedTuple):
@@ -115,7 +118,7 @@ def track_step(
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
     return new_state, StepDiagnostics(
         flow=result.flow, failed=result.failed, switched=switch,
-        relocalized=jnp.zeros_like(switch),
+        relocalized=jnp.zeros_like(switch), nb_iters=result.nb_iters,
     )
 
 
@@ -344,6 +347,7 @@ def _lazy_switch_step(
     do_check=None,
     switch_subbatch: int = 0,
     ring: RelocRing | None = None,
+    prev_pose: Pose | None = None,
 ):
     """One scan-body step with the keyframe precompute behind a real branch.
 
@@ -364,12 +368,22 @@ def _lazy_switch_step(
     once (using that frame's image/depth as the new keyframe).  With
     ``pending=None`` every frame is a check frame and the semantics reduce
     exactly to the reference's per-frame switching.
+
+    ``prev_pose`` carries the previous frame's pose for the
+    constant-velocity warm start (``config.warm_start``); ``None`` keeps the
+    reference's constant-position init.  When given, the step also returns
+    the next carry value (this frame's pre-update pose, with velocity
+    zeroed across failed/lost/relocalized lanes).
     """
     vm = (lambda f: jax.vmap(f)) if batched else (lambda f: f)
 
     init_model = vm(
-        lambda cp, kp: pose_mod.compose(pose_mod.inverse(cp), kp)
-    )(state.current_pose, state.keyframe_pose)
+        lambda cp, kp, pp: tracker_mod.warm_start_init(config, kp, cp, pp)
+    )(
+        state.current_pose,
+        state.keyframe_pose,
+        prev_pose if prev_pose is not None else state.current_pose,
+    )
     pyrs = vm(lambda i: pyramid_ops.mean_pyramid(config.nb_levels, i))(img)
     result = vm(
         lambda kf, *args: tracker_mod.track_frame(
@@ -536,11 +550,25 @@ def _lazy_switch_step(
     new_state = TrackState(kf=kf, keyframe_pose=keyframe_pose, current_pose=new_current)
     diag = StepDiagnostics(
         flow=result.flow, failed=result.failed, switched=switched,
-        relocalized=relocalized,
+        relocalized=relocalized, nb_iters=result.nb_iters,
     )
     outs = (new_state, diag)
     if pending is not None:
         outs = outs + (pending_out,)
+    if prev_pose is not None:
+        # next step's velocity = prev_out⁻¹ ∘ new_current.  Normally prev_out
+        # is this frame's pre-update pose; across a failed, lost, or
+        # relocalized lane the motion is unreliable, so prev_out := the
+        # post-update pose there (zero velocity → constant-position next).
+        reset = result.failed
+        if reloc_on:
+            reset = jnp.logical_or(jnp.logical_or(reset, lost), relocalized)
+        prev_out = jax.tree_util.tree_map(
+            lambda cur_new, cur_old: jnp.where(bcast(reset, cur_new), cur_new, cur_old),
+            new_current,
+            state.current_pose,
+        )
+        outs = outs + (prev_out,)
     if reloc_on:
         outs = outs + (ring_out,)
     return outs
@@ -552,6 +580,8 @@ def track_sequence(
     state: TrackState,
     depths: jnp.ndarray,
     imgs: jnp.ndarray,
+    prev_pose0: Pose | None = None,
+    return_prev: bool = False,
 ):
     """Track a whole clip of F frames with one ``lax.scan``.
 
@@ -562,15 +592,32 @@ def track_sequence(
     per frame, and the keyframe precompute runs only on frames that actually
     switch (``_lazy_switch_step``).  ``depths``/``imgs`` are (F, H, W);
     returns the final state plus per-frame poses and diagnostics stacked on
-    the leading axis.
+    the leading axis.  With ``config.warm_start == "constant_velocity"`` the
+    scan additionally carries the previous frame's pose; chunked callers
+    thread it across dispatches via ``prev_pose0=`` / ``return_prev=True``
+    (default: zero velocity at the clip start).
     """
+    vel = config.warm_start == "constant_velocity"
 
-    def body(s, frame):
+    def body(carry, frame):
+        s, prev = carry
         d, i = frame
-        s2, diag = _lazy_switch_step(config, intrinsics, s, d, i, batched=False)
-        return s2, (s2.current_pose, diag)
+        outs = _lazy_switch_step(
+            config, intrinsics, s, d, i, batched=False,
+            prev_pose=prev if vel else None,
+        )
+        if vel:
+            s2, diag, prev2 = outs
+        else:
+            s2, diag = outs
+            prev2 = prev
+        return (s2, prev2), (s2.current_pose, diag)
 
-    return jax.lax.scan(body, state, (depths, imgs))
+    prev0 = prev_pose0 if (vel and prev_pose0 is not None) else state.current_pose
+    (final, prev_out), out = jax.lax.scan(body, (state, prev0), (depths, imgs))
+    if return_prev:
+        return final, out, prev_out
+    return final, out
 
 
 def batched_track_sequence(
@@ -585,6 +632,8 @@ def batched_track_sequence(
     frame_offset=0,
     return_pending: bool = False,
     reloc_ring: RelocRing | None = None,
+    prev_pose0: Pose | None = None,
+    return_prev: bool = False,
 ):
     """``lax.scan`` over frames of the vmapped step: clips are (F, B, H, W).
 
@@ -624,6 +673,10 @@ def batched_track_sequence(
     ``frame_offset=`` the global index of this chunk's first frame, and
     ``return_pending=True`` to get the carry back — otherwise pending switch
     flags are dropped and check-frame phase restarts at every chunk boundary.
+
+    With ``config.warm_start == "constant_velocity"`` the scan carries each
+    lane's previous pose; chunked callers thread it via ``prev_pose0=`` /
+    ``return_prev=True`` (default: zero velocity at the scan start).
     """
     config = _resolve_batched_interp(config)
     nb_frames = depths.shape[0]
@@ -638,8 +691,10 @@ def batched_track_sequence(
             "batched_init_ring"
         )
 
+    vel = config.warm_start == "constant_velocity"
+
     def body(carry, frame):
-        s, pending, rng = carry
+        s, pending, prev, rng = carry
         t, d, i = frame
         do_check = (t + 1) % switch_cadence == 0
         outs = _lazy_switch_step(
@@ -647,24 +702,35 @@ def batched_track_sequence(
             pending=pending, do_check=do_check,
             switch_subbatch=switch_subbatch,
             ring=rng if reloc_on else None,
+            prev_pose=prev if vel else None,
         )
-        if reloc_on:
+        if vel and reloc_on:
+            s2, diag, pending2, prev2, ring2 = outs
+        elif vel:
+            s2, diag, pending2, prev2 = outs
+            ring2 = rng
+        elif reloc_on:
             s2, diag, pending2, ring2 = outs
+            prev2 = prev
         else:
             s2, diag, pending2 = outs
-            ring2 = rng
-        return (s2, pending2, ring2), (s2.current_pose, diag)
+            prev2, ring2 = prev, rng
+        return (s2, pending2, prev2, ring2), (s2.current_pose, diag)
 
     if pending0 is None:
         pending0 = jnp.zeros((batch,), bool)
+    prev0 = prev_pose0 if (vel and prev_pose0 is not None) else state.current_pose
     frame_idx = frame_offset + jnp.arange(nb_frames)
-    (final, pending_out, ring_out), out = jax.lax.scan(
-        body, (state, pending0, reloc_ring if reloc_on else 0),
+    (final, pending_out, prev_out, ring_out), out = jax.lax.scan(
+        body, (state, pending0, prev0 if vel else 0,
+               reloc_ring if reloc_on else 0),
         (frame_idx, depths, imgs),
     )
     outs = (final, out)
     if return_pending:
         outs = outs + (pending_out,)
+    if return_prev:
+        outs = outs + (prev_out if vel else final.current_pose,)
     if reloc_on:
         outs = outs + (ring_out,)
     return outs

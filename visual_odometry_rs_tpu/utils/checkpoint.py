@@ -42,6 +42,10 @@ _FINGERPRINT_DEFAULT_EXCLUDED = {
     "dso_target": 2000,
     "dso_threshold_coef_a": 1.0,
     "dso_threshold_coef_b": 3,
+    # round 5: warm start + per-level LM iteration budgets + fixed-block DSO
+    "warm_start": "constant_position",
+    "level_max_iterations": None,
+    "dso_block_size": 4,
 }
 
 
@@ -106,7 +110,14 @@ def load_pytree(path: str, template: Any) -> Tuple[Any, dict]:
     restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
     import jax.numpy as jnp
 
-    restored = [jnp.asarray(r) for r in restored]
+    # keep 64-bit leaves as numpy: jnp.asarray would silently downcast them
+    # to 32 bits (x64 is disabled), which destroys TUM epoch timestamps
+    # (~1.3e9 s — f32 resolution there is ~128 s, gutting the
+    # sequence-binding check) and large frame ids stored in checkpoint extras
+    restored = [
+        r if r.dtype in (np.float64, np.int64) else jnp.asarray(r)
+        for r in restored
+    ]
     return jax.tree_util.tree_unflatten(treedef, restored), meta
 
 
@@ -337,6 +348,115 @@ def load_sliding_window(path: str, sw) -> dict:
     return {k: np.asarray(state[f"extra_{k}"]) for k in meta.get("extra_keys", [])}
 
 
+def _batched_window_kf_template(bsw):
+    """Batched keyframe-levels TEMPLATE (structure only) via ``eval_shape``
+    on the vmapped precompute — no compute, no compile."""
+    cfg = bsw.config
+    B = bsw.batch
+    depth = jax.ShapeDtypeStruct((B, cfg.height, cfg.width), np.uint16)
+    pyr = [jax.ShapeDtypeStruct((B,) + s, np.uint8) for s in cfg.level_shapes()]
+    return jax.eval_shape(bsw._precompute_b, depth, pyr).levels
+
+
+def save_batched_window(path: str, bsw, extra: dict | None = None) -> None:
+    """Checkpoint a ``models.sliding_window.BatchedSlidingWindow`` mid-run
+    (the ``vors_refine --batch`` serving state).
+
+    Same contract as ``save_sliding_window``, with every leaf carrying the
+    leading (B,) lane axis; ``extra`` is a caller-owned dict of name → array
+    returned by ``load_batched_window``."""
+    import jax.numpy as jnp
+
+    extra = extra or {}
+    state = {
+        "kf_levels": bsw.kf_levels,
+        "kf_c2w": bsw.kf_c2w,
+        "idepth": bsw.idepth,
+        "images": jnp.stack(bsw.images),  # (F, B, H, W)
+        "images_coarse": jnp.stack(bsw.images_coarse),
+        "models_q": jnp.stack([m.q for m in bsw.models]),  # (F, B, 4)
+        "models_t": jnp.stack([m.t for m in bsw.models]),
+        "prior_H": bsw.prior_H,
+        "prior_anchors": bsw.prior_anchors,
+        "frame_ids": np.asarray(bsw.frame_ids, np.int64),  # (F, B)
+        "keyframe_switches": np.asarray(bsw.keyframe_switches, np.int64),
+    }
+    for k, v in extra.items():
+        state[f"extra_{k}"] = np.asarray(v)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "batched_window",
+        "config_fingerprint": sliding_window_fingerprint(bsw),
+        "batch": int(bsw.batch),
+        "nb_frames": len(bsw.models),
+        "next_id": bsw._next_id,
+        "extra_keys": sorted(extra.keys()),
+    }
+    save_pytree(path, state, meta)
+
+
+def load_batched_window(path: str, bsw) -> dict:
+    """Restore ``save_batched_window`` state into a freshly constructed
+    (un-started) ``BatchedSlidingWindow`` with the same configuration;
+    returns the caller's ``extra`` dict.  Raises ``CheckpointMismatchError``
+    on version / fingerprint / batch-size mismatch."""
+    from ..math.pose import Pose
+
+    meta = _peek_meta(path)
+    version = meta.get("format_version")
+    if version != FORMAT_VERSION or meta.get("kind") != "batched_window":
+        raise CheckpointMismatchError(
+            f"not a v{FORMAT_VERSION} batched-window checkpoint "
+            f"(version {version!r}, kind {meta.get('kind')!r}): {path}"
+        )
+    expected = sliding_window_fingerprint(bsw)
+    found = meta.get("config_fingerprint")
+    if found != expected:
+        raise CheckpointMismatchError(
+            f"checkpoint fingerprint {found!r} does not match the live "
+            f"batched window's {expected!r} — refusing to resume with "
+            f"mismatched window semantics ({path})"
+        )
+    if bsw.batch is None:
+        bsw.batch = int(meta["batch"])
+    if int(meta["batch"]) != int(bsw.batch):
+        raise CheckpointMismatchError(
+            f"checkpoint batch size {meta['batch']} != live {bsw.batch} ({path})"
+        )
+    template = {
+        "kf_levels": _batched_window_kf_template(bsw),
+        "kf_c2w": Pose(0.0, 0.0),
+        "idepth": 0.0,
+        "images": 0.0,
+        "images_coarse": 0.0,
+        "models_q": 0.0,
+        "models_t": 0.0,
+        "prior_H": 0.0,
+        "prior_anchors": Pose(0.0, 0.0),
+        "frame_ids": 0,
+        "keyframe_switches": 0,
+    }
+    for k in meta.get("extra_keys", []):
+        template[f"extra_{k}"] = 0.0
+    state, _ = load_pytree(path, template)
+    F = meta["nb_frames"]
+    bsw.kf_levels = bsw._shard(state["kf_levels"])
+    bsw.kf_c2w = bsw._shard(state["kf_c2w"])
+    bsw.idepth = bsw._shard(state["idepth"])
+    bsw.images = [bsw._shard(state["images"][i]) for i in range(F)]
+    bsw.images_coarse = [bsw._shard(state["images_coarse"][i]) for i in range(F)]
+    bsw.models = [
+        Pose(bsw._shard(state["models_q"][i]), bsw._shard(state["models_t"][i]))
+        for i in range(F)
+    ]
+    bsw.prior_H = bsw._shard(state["prior_H"])
+    bsw.prior_anchors = bsw._shard(state["prior_anchors"])
+    bsw.frame_ids = np.asarray(state["frame_ids"], np.int64)
+    bsw.keyframe_switches = np.asarray(state["keyframe_switches"], np.int64)
+    bsw._next_id = meta["next_id"]
+    return {k: np.asarray(state[f"extra_{k}"]) for k in meta.get("extra_keys", [])}
+
+
 # ---------------------------------------------------------------------------
 # Batched multi-sequence checkpoint/resume (vors_batch — the scaled serving
 # CLI; SURVEY §5: restartability matters most for the long-running modes)
@@ -367,6 +487,7 @@ def batch_fingerprint(config, intrinsics, switch_cadence: int) -> str:
 def save_batch(
     path: str, state, pending, ring, frames_done: int,
     config, intrinsics, switch_cadence: int, lane_timestamps,
+    prev_pose=None,
 ) -> None:
     """Checkpoint ``vors_batch``'s serving state mid-run.
 
@@ -376,16 +497,20 @@ def save_batch(
     cadence-phase carry, fed back as ``frame_offset``); ``lane_timestamps``:
     per lane, the depth timestamps of the associations CONSUMED so far
     (including frame 0) — the per-lane sequence binding ``sequence_matches``
-    checks on resume."""
+    checks on resume; ``prev_pose``: the constant-velocity warm-start carry
+    (``None`` unless ``config.warm_start == "constant_velocity"``)."""
     tree = {"state": state, "pending": pending}
     if ring is not None:
         tree["ring"] = ring
+    if prev_pose is not None:
+        tree["prev"] = prev_pose
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "batch",
         "config_fingerprint": batch_fingerprint(config, intrinsics, switch_cadence),
         "frames_done": int(frames_done),
         "has_ring": ring is not None,
+        "has_prev": prev_pose is not None,
         "lane_timestamps": [
             [float(t) for t in ts] for ts in lane_timestamps
         ],
@@ -402,10 +527,12 @@ def load_batch(
     ``state_template``/``ring_template`` supply the pytree structure (build
     them with ``batched_init_state``/``batched_init_ring`` on the live
     inputs; ``ring_template=None`` when relocalization is off).  Returns
-    ``(state, pending, ring_or_None, frames_done, lane_timestamps)``.
-    Raises ``CheckpointMismatchError`` on format/fingerprint mismatch or
-    when the checkpoint's relocalization-ring presence disagrees with the
-    live configuration."""
+    ``(state, pending, ring_or_None, frames_done, lane_timestamps,
+    prev_pose_or_None)``.  Raises ``CheckpointMismatchError`` on
+    format/fingerprint mismatch or when the checkpoint's
+    relocalization-ring / warm-start-carry presence disagrees with the live
+    configuration (the config fingerprint already pins ``warm_start``, so a
+    prev-presence mismatch can only come from a corrupted file)."""
     meta = _peek_meta(path)
     version = meta.get("format_version")
     if version != FORMAT_VERSION or meta.get("kind") != "batch":
@@ -427,12 +554,20 @@ def load_batch(
             f"({meta.get('has_ring')}) does not match the live --relocalize "
             f"setting ({ring_template is not None}) ({path})"
         )
+    expect_prev = getattr(config, "warm_start", "constant_position") == "constant_velocity"
+    if bool(meta.get("has_prev", False)) != expect_prev:
+        raise CheckpointMismatchError(
+            f"checkpoint warm-start carry presence ({meta.get('has_prev')}) "
+            f"does not match the live warm_start setting ({path})"
+        )
     import jax.numpy as jnp
 
     template = {
         "state": state_template,
         "pending": jnp.zeros((0,), bool),
     }
+    if expect_prev:
+        template["prev"] = state_template.current_pose
     if ring_template is not None:
         template["ring"] = ring_template
     tree, _ = load_pytree(path, template)
@@ -449,6 +584,7 @@ def load_batch(
         tree.get("ring"),
         meta["frames_done"],
         [list(ts) for ts in meta["lane_timestamps"]],
+        tree.get("prev"),
     )
 
 
