@@ -207,10 +207,11 @@ def main() -> None:
         [jnp.broadcast_to(frames[i % len(frames)], (B, height, width)) for i in range(F)]
     )
 
-    def scan_fps(state, clip_d, clip_g, cadence, label, subbatch=0):
+    def scan_fps(state, clip_d, clip_g, cadence, label, subbatch=0, cfg=None):
+        cfg = config if cfg is None else cfg
         run = jax.jit(
             lambda s, dd, gg: batch_mod.batched_track_sequence(
-                config, intrinsics, s, dd, gg, switch_cadence=cadence,
+                cfg, intrinsics, s, dd, gg, switch_cadence=cadence,
                 switch_subbatch=subbatch,
             )
         )
@@ -243,6 +244,36 @@ def main() -> None:
         subbatch=8,
     )
     cadence_fps = scan_fps(state_div, clip_d, clip_g, 4, "fps_scan_b32_diverse_cadence4")
+
+    # --- option-cost trend rows (NOT headline candidates) ------------------
+    # product knobs at the headline operating point, so serving-cost
+    # regressions are visible per round (full matrix: tools/ab_options.py;
+    # opt-in warm-start study: tools/ab_warmstart.py + docs/PERF.md)
+    import dataclasses
+
+    cfg_hb = dataclasses.replace(
+        config, robust_delta=10.0, brightness_model=True
+    )
+    state_hb = jax.jit(
+        lambda d, g: batch_mod.batched_init_state(cfg_hb, intrinsics, d, g)
+    )(d0, g0)
+    scan_fps(
+        state_hb, clip_d, clip_g, 1,
+        "fps_scan_b32_diverse_subbatch8_huber_brightness",
+        subbatch=8, cfg=cfg_hb,
+    )
+    cfg_cvb = dataclasses.replace(
+        config, warm_start="constant_velocity",
+        level_max_iterations=(20, 20, 10, 10, 5, 5),
+    )
+    state_cvb = jax.jit(
+        lambda d, g: batch_mod.batched_init_state(cfg_cvb, intrinsics, d, g)
+    )(d0, g0)
+    scan_fps(
+        state_cvb, clip_d, clip_g, 1,
+        "fps_scan_b32_diverse_subbatch8_cv_budget",
+        subbatch=8, cfg=cfg_cvb,
+    )
 
     # headline: best cadence-1 variant (identical reference-exact switch
     # semantics; the sub-batch precompute is an implementation choice).
