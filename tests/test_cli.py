@@ -1083,3 +1083,33 @@ def test_cli_refine_batch_matches_per_lane(tmp_path):
         + common + ["--resume", ckpt]
     )
     assert rc == 1
+
+
+def test_cli_slam_front_end_knobs(tmp_path):
+    """vors_slam round-5 front-end knobs (warm start, level budgets,
+    dso_fixed selector, Huber) plumb through to the tracking phase and
+    keep the pipeline accurate on a smooth synthetic scene."""
+    from visual_odometry_rs_tpu.cli import vors_slam
+    from visual_odometry_rs_tpu.eval import ate
+
+    seq = synthetic.generate_sequence(
+        nb_frames=6, height=96, width=128, seed=48,
+        twist_per_frame=[0.012, 0.004, 0.0, 0.002, 0.0, 0.001],
+    )
+    assoc_path = tum_rgbd.write_sequence(
+        str(tmp_path), seq.grays, seq.depths, seq.timestamps
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = vors_slam.main(
+            ["fr1", assoc_path, "--nb-levels", "3", "--candidate-cap", "512",
+             "--warm-start", "constant_velocity",
+             "--level-iterations", "20,10,5",
+             "--candidate-selector", "dso_fixed", "--dso-a", "0.2",
+             "--robust-delta", "10.0"]
+        )
+    assert rc == 0
+    frames = tum_rgbd.parse_trajectory(buf.getvalue())
+    assert len(frames) == 5
+    err = ate.ate_rmse([f.pose for f in frames], seq.poses[1:])
+    assert err < 8e-3, err

@@ -163,6 +163,46 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--relocalize-energy", type=float, default=150.0)
     parser.add_argument(
+        "--robust-delta", type=float, default=0.0,
+        help="Huber threshold for the tracking front-end's photometric "
+        "residuals (0 = reference-exact L2; see vors_track --robust-delta)",
+    )
+    parser.add_argument(
+        "--brightness-model", action="store_true",
+        help="estimate per-frame affine brightness (gain/bias) jointly with "
+        "the pose in the tracking front-end (see vors_track)",
+    )
+    parser.add_argument(
+        "--candidate-selector", choices=["coarse_to_fine", "dso", "dso_fixed"],
+        default="coarse_to_fine",
+        help="keyframe candidate picker for the tracking front-end "
+        "(see vors_track --candidate-selector; the host Tracker supports "
+        "all three)",
+    )
+    parser.add_argument(
+        "--dso-target", type=int, default=2000,
+        help="DSO selector point-count target (see vors_track)",
+    )
+    parser.add_argument(
+        "--dso-block-size", type=int, default=4,
+        help="dso_fixed: the static block size (see vors_track)",
+    )
+    parser.add_argument(
+        "--dso-a", type=float, default=1.0,
+        help="DSO regional threshold coefficient a (see vors_track --dso-a)",
+    )
+    parser.add_argument(
+        "--warm-start", choices=["constant_position", "constant_velocity"],
+        default="constant_position",
+        help="per-frame LM init for the tracking front-end "
+        "(see vors_track --warm-start)",
+    )
+    parser.add_argument(
+        "--level-iterations", metavar="N0,N1,...", default=None,
+        help="per-level LM iteration caps for the tracking front-end "
+        "(see vors_track --level-iterations)",
+    )
+    parser.add_argument(
         "--kf-store", choices=["disk", "memory"], default="disk",
         help="keyframe image retention for loop closure / map export: "
         "'disk' (default) re-decodes keyframe frames from the dataset on "
@@ -213,6 +253,16 @@ def main(argv=None) -> int:
         interp_method=args.interp,
         relocalize_window=max(0, args.relocalize),
         relocalize_energy_accept=args.relocalize_energy,
+        robust_delta=args.robust_delta,
+        brightness_model=args.brightness_model,
+        candidate_selector=args.candidate_selector,
+        dso_target=args.dso_target,
+        dso_block_size=args.dso_block_size,
+        dso_threshold_coef_a=args.dso_a,
+        warm_start=args.warm_start,
+        level_max_iterations=_common.parse_level_iterations(
+            args.level_iterations, args.nb_levels
+        ),
     )
 
     # --- 1. track ---------------------------------------------------------
