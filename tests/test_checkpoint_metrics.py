@@ -297,3 +297,71 @@ def test_fingerprint_stable_across_added_default_fields():
     assert checkpoint.config_fingerprint(cfg_dso) != legacy
     cfg_tgt = dataclasses.replace(config, dso_target=999)
     assert checkpoint.config_fingerprint(cfg_tgt) != legacy
+
+
+def test_checkpoint_resume_tracker_velocity_carry(tmp_path):
+    """constant-velocity warm start: the prev-pose carry rides the tracker
+    checkpoint, so a resumed tracker reproduces the uninterrupted run
+    exactly (round-5 review finding: the carry was silently left at the
+    construction-time identity, making the first post-resume init
+    extrapolate across the whole trajectory)."""
+    import dataclasses
+
+    seq = synthetic.generate_sequence(
+        nb_frames=5, height=48, width=64, seed=2,
+        twist_per_frame=[0.02, 0.0, 0.0, 0.0, 0.002, 0.0],
+    )
+    config = dataclasses.replace(
+        tracker_mod.TrackerConfig(
+            height=48, width=64, nb_levels=3, candidate_cap=256
+        ),
+        warm_start="constant_velocity",
+    )
+
+    def new_tracker():
+        return tracker_mod.init_tracker(
+            config, seq.intrinsics,
+            float(seq.timestamps[0]), jnp.asarray(seq.depths[0]),
+            float(seq.timestamps[0]), jnp.asarray(seq.grays[0]),
+        )
+
+    trk = new_tracker()
+    prev_at_save = None
+    for f in (1, 2, 3):
+        trk.track(float(seq.timestamps[f]), jnp.asarray(seq.depths[f]),
+                  float(seq.timestamps[f]), jnp.asarray(seq.grays[f]))
+        if f == 2:
+            path = str(tmp_path / "cv.npz")
+            checkpoint.save_tracker(path, trk)
+            prev_at_save = np.asarray(trk.prev_pose.t).copy()
+    _, pose_ref = trk.current_frame()
+
+    trk2 = new_tracker()
+    checkpoint.load_tracker(path, trk2)
+    # the restored carry must be the SAVED prev pose (nonzero after two
+    # tracked frames), not the construction-time identity
+    np.testing.assert_array_equal(np.asarray(trk2.prev_pose.t), prev_at_save)
+    assert np.linalg.norm(prev_at_save) > 1e-3
+    trk2.track(float(seq.timestamps[3]), jnp.asarray(seq.depths[3]),
+               float(seq.timestamps[3]), jnp.asarray(seq.grays[3]))
+    _, pose2 = trk2.current_frame()
+    np.testing.assert_allclose(
+        np.asarray(pose2.t), np.asarray(pose_ref.t), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose2.q), np.asarray(pose_ref.q), atol=1e-7
+    )
+
+    # a cp checkpoint (no carry leaf) restores into a cp tracker unchanged
+    cfg_cp = dataclasses.replace(config, warm_start="constant_position")
+    trk3 = tracker_mod.init_tracker(
+        cfg_cp, seq.intrinsics,
+        float(seq.timestamps[0]), jnp.asarray(seq.depths[0]),
+        float(seq.timestamps[0]), jnp.asarray(seq.grays[0]),
+    )
+    path_cp = str(tmp_path / "cp.npz")
+    checkpoint.save_tracker(path_cp, trk3)
+    checkpoint.load_tracker(path_cp, trk3)
+    np.testing.assert_array_equal(
+        np.asarray(trk3.prev_pose.t), np.asarray(trk3.current_pose.t)
+    )

@@ -573,8 +573,8 @@ def _run_batched(args, pairs) -> int:
                 for fid in range(min(T, extra["refined_mask"].shape[1])):
                     if fid <= lengths[b] and extra["refined_mask"][b, fid]:
                         refined[b][fid] = Pose(
-                            jnp.asarray(extra["refined_q"][b, fid]),
-                            jnp.asarray(extra["refined_t"][b, fid]),
+                            extra["refined_q"][b, fid],
+                            extra["refined_t"][b, fid],
                         )
         for b in range(B):
             for _ in range(min(start_at, lengths[b] + 1)):
@@ -613,9 +613,11 @@ def _run_batched(args, pairs) -> int:
             for slot in range(ids.shape[0]):
                 fid = int(ids[slot, b])
                 if fid <= lengths[b]:
-                    refined[b][fid] = Pose(
-                        jnp.asarray(qs[b, slot]), jnp.asarray(ts[b, slot])
-                    )
+                    # host numpy Poses: these are only ever serialized /
+                    # snapshotted host-side, and B x window jnp.asarray
+                    # calls per frame are real device round trips on the
+                    # remote-TPU transport (CLAUDE.md measurement trap)
+                    refined[b][fid] = Pose(qs[b, slot], ts[b, slot])
         print(
             f"frame {i}: window {int(ids[:, 0].min())}..{int(ids[:, 0].max())}"
             f", keyframe switches {list(map(int, bsw.keyframe_switches))}",

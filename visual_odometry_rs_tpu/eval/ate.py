@@ -76,6 +76,13 @@ def rpe_rmse(
     from ..math import pose as pose_mod
     import jax.numpy as jnp
 
+    if len(estimated) != len(ground_truth):
+        # the former per-pair loop raised on mismatched lengths; the batched
+        # pass would silently broadcast instead — fail loudly like ate_rmse
+        raise ValueError(
+            f"trajectory length mismatch: {len(estimated)} estimated vs "
+            f"{len(ground_truth)} ground-truth poses"
+        )
     n_pairs = len(estimated) - delta
     if n_pairs <= 0:
         return 0.0, 0.0

@@ -780,12 +780,10 @@ def warm_start_init(
     post-failure, post-relocalization) the prediction degenerates exactly
     to constant-position.
     """
-    if config.warm_start == "constant_position" or prev_pose is None:
-        if config.warm_start not in ("constant_position", "constant_velocity"):
-            raise ValueError(f"unknown warm_start {config.warm_start!r}")
-        return pose_mod.compose(pose_mod.inverse(current_pose), keyframe_pose)
-    if config.warm_start != "constant_velocity":
+    if config.warm_start not in ("constant_position", "constant_velocity"):
         raise ValueError(f"unknown warm_start {config.warm_start!r}")
+    if config.warm_start == "constant_position" or prev_pose is None:
+        return pose_mod.compose(pose_mod.inverse(current_pose), keyframe_pose)
     vel = pose_mod.compose(pose_mod.inverse(prev_pose), current_pose)
     pred = pose_mod.renormalize_first_order(pose_mod.compose(current_pose, vel))
     return pose_mod.compose(pose_mod.inverse(pred), keyframe_pose)

@@ -128,6 +128,11 @@ def save_tracker(path: str, tracker) -> None:
         "keyframe_pose": tracker.keyframe_pose,
         "current_pose": tracker.current_pose,
     }
+    # the constant-velocity warm-start carry; stored only when the mode is
+    # on, so constant-position checkpoints keep the historical pytree
+    # structure (the config fingerprint pins warm_start either way)
+    if getattr(tracker.config, "warm_start", None) == "constant_velocity":
+        state["prev_pose"] = tracker.prev_pose
     meta = {
         "format_version": FORMAT_VERSION,
         "config_fingerprint": config_fingerprint(tracker.config, tracker.intrinsics),
@@ -148,11 +153,14 @@ def load_tracker(path: str, tracker) -> None:
     different format version or a tracker with a different config/intrinsics
     fingerprint.
     """
+    vel_on = getattr(tracker.config, "warm_start", None) == "constant_velocity"
     template = {
         "keyframe_data": tracker.keyframe_data,
         "keyframe_pose": tracker.keyframe_pose,
         "current_pose": tracker.current_pose,
     }
+    if vel_on:
+        template["prev_pose"] = tracker.current_pose
     state, meta = load_pytree(path, template)
     version = meta.get("format_version")
     if version != FORMAT_VERSION:
@@ -171,6 +179,10 @@ def load_tracker(path: str, tracker) -> None:
     tracker.keyframe_data = state["keyframe_data"]
     tracker.keyframe_pose = state["keyframe_pose"]
     tracker.current_pose = state["current_pose"]
+    # restore the warm-start carry (or zero the velocity, prev == current):
+    # never extrapolate across a resume boundary from the construction-time
+    # identity pose
+    tracker.prev_pose = state.get("prev_pose", tracker.current_pose)
     tracker.keyframe_depth_timestamp = meta["keyframe_depth_timestamp"]
     tracker.keyframe_img_timestamp = meta["keyframe_img_timestamp"]
     tracker.current_depth_timestamp = meta["current_depth_timestamp"]
@@ -614,6 +626,8 @@ def save_slam(
         "traj_q": jnp.stack([p.q for p in trajectory]),
         "traj_t": jnp.stack([p.t for p in trajectory]),
     }
+    if getattr(tracker.config, "warm_start", None) == "constant_velocity":
+        state["prev_pose"] = tracker.prev_pose
     if kf_images is not None:
         state["kf_depths"] = np.stack(
             [np.asarray(kf_images[i][0]) for i in keyframe_ids]
@@ -669,6 +683,8 @@ def load_slam(path: str, tracker):
         "traj_q": 0.0,
         "traj_t": 0.0,
     }
+    if getattr(tracker.config, "warm_start", None) == "constant_velocity":
+        template["prev_pose"] = tracker.current_pose
     if has_kf:
         template["kf_depths"] = 0.0
         template["kf_grays"] = 0.0
@@ -676,6 +692,7 @@ def load_slam(path: str, tracker):
     tracker.keyframe_data = state["keyframe_data"]
     tracker.keyframe_pose = state["keyframe_pose"]
     tracker.current_pose = state["current_pose"]
+    tracker.prev_pose = state.get("prev_pose", tracker.current_pose)
     tracker.keyframe_depth_timestamp = meta["keyframe_depth_timestamp"]
     tracker.keyframe_img_timestamp = meta["keyframe_img_timestamp"]
     tracker.current_depth_timestamp = meta["current_depth_timestamp"]
