@@ -118,3 +118,29 @@ def test_unselected_coarse_blocks_stay_empty():
     fine = np.asarray(masks[2])
     # only the 2x2 block under the single selected coarse pixel has a pick
     assert fine.sum() == 1
+
+
+def test_select_rolled_matches_corner():
+    """The full-resolution partner-swap select (impl="rolled") is
+    bit-identical to the corner comparator network across dense ties, odd
+    trailing dims, batch axes, and both integer and f32 carriers (the
+    retired-variant oracle — see tools/ab_select.py for why it is not the
+    default)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ([(37, 53), (18, 26), (9, 13)], None),
+        ([(48, 64), (24, 32), (12, 16)], 3),
+    ]
+    for shapes, batch in cases:
+        levels = []
+        for s in shapes:
+            shape = s if batch is None else (batch, *s)
+            levels.append(jnp.asarray(rng.integers(0, 4, shape, np.uint16)))
+        for lvls in (levels, [l.astype(jnp.float32) for l in levels]):
+            for thresh in (0, 1, 7):
+                got = coarse_to_fine.select(thresh, lvls, impl="rolled")
+                want = coarse_to_fine.select(thresh, lvls, impl="corner")
+                for g, w in zip(got, want):
+                    np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -115,7 +115,96 @@ def _merge_block_masks(ka, kb, kc, kd):
     )
 
 
-def select(diff_threshold, gradient_sq_levels: List[jnp.ndarray]) -> List[jnp.ndarray]:
+def _swap_rows(x):
+    """x[..., i, j] -> x[..., i ^ 1, j]: swap adjacent row pairs (block-local
+    by construction — row i's partner is always inside the same aligned 2x2
+    block).  Row-major reshape + tiny-axis reverse: layout-preserving, no
+    strided deinterleave."""
+    h, w = x.shape[-2:]
+    xr = x.reshape(*x.shape[:-2], h // 2, 2, w)
+    return xr[..., ::-1, :].reshape(*x.shape[:-2], h, w)
+
+
+def _swap_cols(x):
+    """x[..., i, j] -> x[..., i, j ^ 1] (column partner within the block)."""
+    h, w = x.shape[-2:]
+    xr = x.reshape(*x.shape[:-2], h, w // 2, 2)
+    return xr[..., ::-1].reshape(*x.shape[:-2], h, w)
+
+
+def _keep_mask_full(thresh, g):
+    """Per-pixel top-2 keep mask at FULL resolution (round 5).
+
+    Numerically identical to ``_prune_block`` + ``_merge_block_masks`` but
+    with zero strided deinterleaves / re-interleaves: every pixel compares
+    itself against its three 2x2-block partners obtained by adjacent-pair
+    row/col swaps (pure layout-preserving elementwise ops, so XLA fuses the
+    whole rank computation into O(1) kernels; the half-res corner
+    formulation forced layout-hostile (h/2, w/2) slicing both ways — the
+    dominant cost of the measured 7.3 ms select stage, docs/PERF.md
+    round 5).
+
+    Tie-break: corner order a<b<c<d == order index ``2*col_parity +
+    row_parity`` — x beats y iff ``g_x > g_y`` or equal values with the
+    smaller order index (the reference-fixed deterministic order).
+
+    ``g`` must have even trailing dims (callers slice to (2*h2, 2*w2)).
+    """
+    if jnp.issubdtype(g.dtype, jnp.integer):
+        g = g.astype(jnp.int32)
+    h, w = g.shape[-2:]
+    rowp = (jnp.arange(h) % 2).astype(g.dtype)[:, None]  # 0 even, 1 odd
+    colp = (jnp.arange(w) % 2).astype(g.dtype)[None, :]
+
+    g_r = _swap_rows(g)          # row partner
+    g_c = _swap_cols(g)          # col partner
+    g_rc = _swap_cols(g_r)       # diagonal partner
+    # partner order indices are pure functions of parity:
+    # row partner flips rowp, col partner flips colp, diagonal flips both
+    ord_p = 2 * colp + rowp
+    ord_row = 2 * colp + (1 - rowp)
+    ord_col = 2 * (1 - colp) + rowp
+    ord_diag = 2 * (1 - colp) + (1 - rowp)
+
+    def beats(gn, on):
+        # neighbor beats this pixel
+        return jnp.logical_or(
+            gn > g, jnp.logical_and(gn == g, on < ord_p)
+        )
+
+    rank = (
+        beats(g_r, ord_row).astype(jnp.int32)
+        + beats(g_c, ord_col).astype(jnp.int32)
+        + beats(g_rc, ord_diag).astype(jnp.int32)
+    )
+
+    # block second/third values, identical at all 4 pixels of a block
+    s_row = jnp.maximum(g, g_r)   # max over the row pair of this column
+    t_row = jnp.minimum(g, g_r)
+    mid1 = jnp.minimum(s_row, _swap_cols(s_row))
+    mid2 = jnp.maximum(t_row, _swap_cols(t_row))
+    second_val = jnp.maximum(mid1, mid2)
+    third_val = jnp.minimum(mid1, mid2)
+    keep_second = second_val > third_val + jnp.asarray(thresh, g.dtype)
+
+    return jnp.logical_or(
+        rank == 0, jnp.logical_and(rank == 1, keep_second)
+    )
+
+
+def _upsample2_mask(pre, h2, w2):
+    """(.., h2, w2) bool -> (.., 2h2, 2w2) by 2x2 replication (the
+    broadcast-reshape interleave of ``_merge_block_masks.up``)."""
+    lead = pre.shape[:-2]
+    xb = jnp.broadcast_to(pre[..., :, None, :, None], (*lead, h2, 2, w2, 2))
+    return xb.reshape(*lead, 2 * h2, 2 * w2)
+
+
+def select(
+    diff_threshold,
+    gradient_sq_levels: List[jnp.ndarray],
+    impl: str = "corner",
+) -> List[jnp.ndarray]:
     """Multi-level candidate masks (coarse_to_fine.rs:15-32).
 
     ``gradient_sq_levels`` is ordered fine→coarse like the reference's
@@ -124,18 +213,38 @@ def select(diff_threshold, gradient_sq_levels: List[jnp.ndarray]) -> List[jnp.nd
     level only blocks under a selected coarse pixel are evaluated.  Odd
     trailing rows/cols of a level are never selected (the reference's masks
     are sized from the half-resolution pre-mask).
+
+    ``impl``: "corner" (default — the round-4 half-res corner comparator
+    network) or "rolled" (the round-5 full-resolution partner-swap rank
+    computation ``_keep_mask_full``; bit-identical output).  RETIRED as the
+    default after an honest in-graph A/B (tools/ab_select.py, B=32 TPU):
+    the rolled form wins at the isolated stage level (12.1 → 9.5 ms, the
+    strided deinterleave/interleave hypothesis was right) but LOSES inside
+    the full precompute program (21.1 → 24.8 ms) — XLA's downstream
+    fusion/layout choices flip the sign in context, the same
+    isolated-vs-in-context trap documented for the Pallas residual kernel
+    (docs/PERF.md).  Kept as a tested variant so the measurement stays
+    reproducible.
     """
     coarsest = gradient_sq_levels[-1]
     masks = [jnp.ones(coarsest.shape, dtype=bool)]
     for grad in reversed(gradient_sq_levels[:-1]):
         pre_mask = masks[-1]
-        a, b, c, d = block_2x2(grad)
-        ka, kb, kc, kd = _prune_block(diff_threshold, a, b, c, d)
-        h2, w2 = ka.shape[-2:]
-        pre = pre_mask[..., :h2, :w2]
-        full = _merge_block_masks(ka & pre, kb & pre, kc & pre, kd & pre)
-        # pad back to the level's full (possibly odd) shape
         h, w = grad.shape[-2:]
+        h2, w2 = h // 2, w // 2
+        pre = pre_mask[..., :h2, :w2]
+        if impl == "rolled":
+            keep = _keep_mask_full(
+                diff_threshold, grad[..., : 2 * h2, : 2 * w2]
+            )
+            full = keep & _upsample2_mask(pre, h2, w2)
+        elif impl == "corner":
+            a, b, c, d = block_2x2(grad)
+            ka, kb, kc, kd = _prune_block(diff_threshold, a, b, c, d)
+            full = _merge_block_masks(ka & pre, kb & pre, kc & pre, kd & pre)
+        else:
+            raise ValueError(f"unknown select impl {impl!r}")
+        # pad back to the level's full (possibly odd) shape
         if full.shape[-2:] != (h, w):
             full = jnp.zeros(grad.shape, bool).at[..., : 2 * h2, : 2 * w2].set(full)
         masks.append(full)
