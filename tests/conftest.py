@@ -21,3 +21,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    One full-suite process accumulates many hundreds of XLA CPU executables;
+    past ~240 tests the NEXT compilation segfaults inside
+    ``backend_compile_and_load`` (reproduced twice at the same test, while
+    the same test passes at file scope — a cumulative-state crash in the
+    CPU JIT, not a bug in the test).  Dropping the jit caches between
+    modules keeps the in-process executable population bounded.  Tests
+    never share compiled functions across modules, so the only cost is
+    recompiling common helpers (renderer, pyramid) per module.
+    """
+    yield
+    jax.clear_caches()
